@@ -1,0 +1,247 @@
+"""TPU-native triangle rasterizer: z-buffering as matmul + masked min-reduce.
+
+Replaces the reference's OpenGL offscreen renderer (C9/C16,
+src/OpenglRender.cpp, src/ModelBuffer.cpp, shader/*). Design: for a pinhole
+camera, each triangle's edge functions and its perspective-correct depth
+numerator/denominator are *linear functionals of the pixel ray*
+(2-D homogeneous rasterization). Evaluating them for every pixel is a
+`[pixels, 3] @ [3, 4*faces]` matmul that runs on the MXU; the z-buffer is a
+masked min-reduction over face blocks inside nested `lax.scan`s
+(pixel bands x face blocks) so no intermediate exceeds a few tens of MB.
+No scatter, no data-dependent shapes, `vmap`-batchable over views.
+
+Conventions: CV camera frame (x right, y down, z forward), mm units,
+pixel = (fx*x/z + cx, fy*y/z + cy). The reference renders via GL with
+`viewProj = projection * view` (its model matrix is dead code,
+src/OpenglRender.cpp:88,135) and a vertical readback flip
+(src/OpenglRender.cpp:33-47), which is algebraically this same projection with
+fx = fy; the depth shader emits eye-space mm (shader/depth.fs:8-17). Depth
+images here are f32 mm with 0 = background; near/far = 100/10000 mm
+(src/OpenglRender.cpp:10-11).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEAR_MM = 100.0
+FAR_MM = 10000.0
+
+
+class MeshArrays(NamedTuple):
+    """Static-shape device mesh buffers (the TPU analogue of C16 ModelBuffer)."""
+
+    vertices: jax.Array  # [V, 3] f32, model frame (mm)
+    faces: jax.Array  # [F, 3] i32
+    colors: jax.Array  # [V, 3] f32 in [0, 1]
+
+
+def mesh_to_arrays(mesh, pad_faces_to: int = 512) -> MeshArrays:
+    """Upload a host Mesh, padding the face list to a block multiple."""
+    faces = np.asarray(mesh.indices, dtype=np.int32)
+    f = faces.shape[0]
+    target = max(pad_faces_to, int(np.ceil(f / pad_faces_to)) * pad_faces_to)
+    if target > f:
+        # Degenerate (0,0,0) triangles have zero-determinant edges and are
+        # rejected by the inside test.
+        faces = np.concatenate([faces, np.zeros((target - f, 3), np.int32)], axis=0)
+    return MeshArrays(
+        vertices=jnp.asarray(mesh.vertices, dtype=jnp.float32),
+        faces=jnp.asarray(faces),
+        colors=jnp.asarray(mesh.colors, dtype=jnp.float32),
+    )
+
+
+def _face_functionals(p_cam: jax.Array, faces: jax.Array):
+    """Linear functionals per face from camera-space vertices.
+
+    Returns (M [F, 3, 3], det [F], valid [F]): rows of M are the edge
+    cofactors c_i = cross(p_j, p_k). For a pixel ray q = ((u-cx)/fx,
+    (v-cy)/fy, 1), lambda_i = c_i . q are (up to the common factor det) the
+    *3-D* barycentric weights of the ray/triangle intersection, so
+    inside = all lambda_i agree in sign with det, depth = det / sum(lambda),
+    and attributes interpolate perspective-correctly as
+    sum_i (lambda_i/sum) a_i.
+    """
+    tri = p_cam[faces]  # [F, 3, 3]
+    p0, p1, p2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    c0 = jnp.cross(p1, p2)
+    c1 = jnp.cross(p2, p0)
+    c2 = jnp.cross(p0, p1)
+    det = jnp.sum(c0 * p0, axis=-1)  # det[p0, p1, p2]
+    z = tri[:, :, 2]  # [F, 3]
+    # Reject degenerate faces and faces outside the near/far frustum slab
+    # (conservative clip; all reference workloads sit far inside it).
+    valid = (
+        (jnp.abs(det) > 1e-6)
+        & jnp.all(z > NEAR_MM, axis=-1)
+        & jnp.all(z < FAR_MM, axis=-1)
+    )
+    m = jnp.stack([c0, c1, c2], axis=1)  # [F, 3, 3]
+    return m, det, valid, jnp.min(z, axis=-1), jnp.max(z, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "face_block", "band_rows", "with_color"),
+)
+def render(
+    mesh: MeshArrays,
+    rotation: jax.Array,
+    translation: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    *,
+    width: int = 640,
+    height: int = 480,
+    face_block: int = 512,
+    band_rows: int = 32,
+    with_color: bool = False,
+    origin=(0.0, 0.0),
+):
+    """Render one view. Returns depth [H, W] f32 mm (0=empty) and, when
+    `with_color`, also a color image [H, W, 3] f32 in [0, 1].
+
+    rotation [3,3] / translation [3]: object-to-camera transform in the CV
+    frame (p_cam = R v + t). `origin` (dynamic) places the window's top-left
+    pixel for cropped renders; `width`/`height` are the static window size.
+    """
+    assert height % band_rows == 0, "height must be a multiple of band_rows"
+    p_cam = mesh.vertices @ rotation.T + translation  # [V, 3]
+    m, det, valid, zlo, zhi = _face_functionals(p_cam, mesh.faces)
+    nfaces = mesh.faces.shape[0]
+    nblocks = nfaces // face_block
+    fblocks = (
+        m.reshape(nblocks, face_block, 3, 3),
+        det.reshape(nblocks, face_block),
+        valid.reshape(nblocks, face_block),
+        zlo.reshape(nblocks, face_block),
+        zhi.reshape(nblocks, face_block),
+        jnp.arange(nblocks, dtype=jnp.int32) * face_block,
+    )
+
+    ox = jnp.asarray(origin[0], jnp.float32)
+    oy = jnp.asarray(origin[1], jnp.float32)
+    u = (jnp.arange(width, dtype=jnp.float32) + ox - cx) / fx  # [W]
+    band_px = band_rows * width
+    nbands = height // band_rows
+    big = jnp.float32(jnp.inf)
+
+    def face_step(carry, blk):
+        zmin, fid, q = carry
+        mb, db, vb, zlo_b, zhi_b, off = blk
+        # K=3 contraction: full f32 precision is essentially free here and the
+        # TPU default (bf16 passes) costs ~0.3% depth error, which would break
+        # the mm-level depth gates downstream.
+        e = jnp.dot(
+            q, mb.reshape(-1, 3).T, precision=jax.lax.Precision.HIGHEST
+        )  # [band_px, 3B]  (MXU)
+        e = e.reshape(band_px, face_block, 3)
+        lam = e * jnp.sign(db)[None, :, None]
+        # Inclusive fill rule: a pixel exactly on a shared edge (lambda == 0)
+        # belongs to both triangles — the edge cofactors of the two triangles
+        # are exact fp negations of each other, so this closes single-pixel
+        # cracks without any epsilon band (an epsilon proportional to the
+        # lambda scale creates false-positive wedges along edge extensions).
+        lam_ok = jnp.all(lam >= 0.0, axis=-1)
+        inside = lam_ok & vb[None, :]
+        den = e[..., 0] + e[..., 1] + e[..., 2]
+        z = db[None, :] / jnp.where(den == 0.0, 1.0, den)
+        # Clamp to the triangle's own z-range: any true interior point lies
+        # within it, so this kills sliver-triangle artifacts from fp noise.
+        z_ok = (z >= zlo_b[None, :] - 1.0) & (z <= zhi_b[None, :] + 1.0)
+        z = jnp.where(inside & z_ok, z, big)
+        bmin = jnp.min(z, axis=1)
+        barg = jnp.argmin(z, axis=1).astype(jnp.int32)
+        take = bmin < zmin
+        return (
+            jnp.where(take, bmin, zmin),
+            jnp.where(take, barg + off, fid),
+            q,
+        ), None
+
+    def band_step(_, band_idx):
+        v = (
+            jnp.arange(band_rows, dtype=jnp.float32)
+            + band_idx * band_rows
+            + oy
+            - cy
+        ) / fy
+        uu, vv = jnp.meshgrid(u, v)  # [band_rows, W]
+        q = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(band_px, 3)
+        init = (
+            jnp.full((band_px,), big, jnp.float32),
+            jnp.full((band_px,), -1, jnp.int32),
+            q,
+        )
+        (zmin, fid, _), _ = jax.lax.scan(face_step, init, fblocks)
+        return None, (zmin, fid)
+
+    _, (zmin, fid) = jax.lax.scan(
+        band_step, None, jnp.arange(nbands, dtype=jnp.float32)
+    )
+    zmin = zmin.reshape(-1)
+    fid = fid.reshape(-1)
+
+    hit = jnp.isfinite(zmin)
+    depth = jnp.where(hit, zmin, 0.0).reshape(height, width)
+    if not with_color:
+        return depth
+
+    # Second pass: perspective-correct vertex color of the winning face only.
+    uu_full = (
+        jnp.tile(u, height)
+    )
+    vv_full = jnp.repeat((jnp.arange(height, dtype=jnp.float32) + oy - cy) / fy, width)
+    q_full = jnp.stack([uu_full, vv_full, jnp.ones_like(uu_full)], axis=-1)
+    tri = mesh.faces[jnp.maximum(fid, 0)]  # [P, 3]
+    pv = p_cam[tri]  # [P, 3, 3]
+    c0 = jnp.cross(pv[:, 1], pv[:, 2])
+    c1 = jnp.cross(pv[:, 2], pv[:, 0])
+    c2 = jnp.cross(pv[:, 0], pv[:, 1])
+    lam = jnp.stack(
+        [
+            jnp.sum(c0 * q_full, -1),
+            jnp.sum(c1 * q_full, -1),
+            jnp.sum(c2 * q_full, -1),
+        ],
+        axis=-1,
+    )
+    # lambda_i are already the perspective-correct 3-D barycentric weights.
+    lam_sum = jnp.sum(lam, -1, keepdims=True)
+    w = lam / jnp.where(jnp.abs(lam_sum) < 1e-12, 1.0, lam_sum)
+    rgb = jnp.sum(w[..., None] * mesh.colors[tri], axis=1)
+    rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(height, width, 3)
+    return depth, jnp.clip(rgb, 0.0, 1.0)
+
+
+def render_views(mesh: MeshArrays, rotations, translations, cam, *, with_color=False):
+    """vmap-batched rendering over view stacks with a centred principal point.
+
+    Template generation, ICP verification and VSD scoring all render with the
+    principal point at the image centre (the online pipeline recentres its
+    input images to match, src/PoseDetection.cpp:54-59).
+
+    rotations [N,3,3], translations [N,3] -> depth [N,H,W] (+ color [N,H,W,3]).
+    """
+    f = functools.partial(
+        render,
+        mesh,
+        fx=cam.fx,
+        fy=cam.fy,
+        cx=cam.width / 2.0,
+        cy=cam.height / 2.0,
+        width=cam.width,
+        height=cam.height,
+        with_color=with_color,
+    )
+    return jax.vmap(f)(
+        jnp.asarray(rotations, jnp.float32), jnp.asarray(translations, jnp.float32)
+    )

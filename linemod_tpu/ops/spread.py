@@ -1,0 +1,116 @@
+"""Orientation spreading, binarized response maps, linearized planes.
+
+The match-time precomputation of the LINE-MOD engine (cv::linemod internals
+relied on at src/HighLevelLinemod.cpp:152):
+
+1. `spread`: OR the quantized-orientation bitmask over a T x T window of
+   *forward* offsets (dy, dx in [0, T)), making the similarity invariant to
+   feature positions within a grid cell.
+2. `response_maps`: for each of the 8 template orientations, the best cosine
+   similarity against any orientation present in the spread byte, on the
+   scale 0..4 (bin distance 0 -> 4, 1 -> 3, 2 -> 2, 3 -> 1, 4 -> 0).
+3. `linearize`: re-layout each response plane so that all grid positions with
+   stride T form one contiguous row-major plane per within-cell offset.
+   A template feature at offset (y, x) then contributes the contiguous slice
+   planes_flat[base(y % T, x % T, ori) + shift(y // T, x // T) + g] to the
+   score of every grid position g — the TPU generalization of the reference
+   engine's "linear memories", and the layout the Pallas scan kernel consumes.
+
+All shapes are static; the planes for one pyramid level fit in VMEM
+(8*T*T*ceil(H/T)*ceil(W/T) bytes: ~1.5 MB for T=8 at 320x240, ~3.1 MB for
+T=2 at 640x480).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sim[i, j]: similarity of template orientation i vs image orientation j
+_BIN_DIST = np.minimum(
+    (np.arange(8)[:, None] - np.arange(8)[None, :]) % 8,
+    (np.arange(8)[None, :] - np.arange(8)[:, None]) % 8,
+)
+SIMILARITY = np.maximum(4 - _BIN_DIST, 0).astype(np.uint8)  # [8, 8], max 4
+MAX_RESPONSE = 4
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def spread_orientations(quantized: jax.Array, t: int) -> jax.Array:
+    """OR-spread the one-hot orientation bytes over a T x T forward window.
+
+    quantized: [H, W] uint8. Returns [H, W] uint8.
+    """
+    h, w = quantized.shape
+    acc = jnp.zeros((h, w), jnp.uint8)
+    padded = jnp.pad(quantized, ((0, t), (0, t)))
+    for dy in range(t):
+        for dx in range(t):
+            acc = acc | jax.lax.dynamic_slice(padded, (dy, dx), (h, w))
+    return acc
+
+
+@jax.jit
+def response_maps(spread: jax.Array) -> jax.Array:
+    """Per-orientation best-similarity maps from spread bytes.
+
+    spread: [H, W] uint8 -> [8, H, W] uint8 with values 0..4.
+    """
+    bits = ((spread[None] >> jnp.arange(8, dtype=jnp.uint8)[:, None, None]) & 1).astype(
+        jnp.bool_
+    )  # [8(bit), H, W]
+    sim = jnp.asarray(SIMILARITY)  # [8(ori), 8(bit)]
+    # response[o] = max over set bits b of sim[o, b]
+    resp = jnp.max(
+        jnp.where(bits[None, :, :, :], sim[:, :, None, None], jnp.uint8(0)), axis=1
+    )
+    return resp
+
+
+def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
+    """Padded grid-plane shape for `linearize`: (cells_h + max_cells, row_stride).
+
+    row_stride pads the grid width + max_cells up to a multiple of 128 lanes.
+    """
+    ch, cw = h // t, w // t
+    rows = ch + max_cells
+    stride = int(np.ceil((cw + max_cells) / 128.0)) * 128
+    return ch, cw, rows, stride
+
+
+@functools.partial(jax.jit, static_argnames=("t", "max_cells"))
+def linearize(resp: jax.Array, t: int, max_cells: int) -> jax.Array:
+    """Grid-stride re-layout of response maps.
+
+    resp: [8, H, W] uint8 (H, W multiples of T) ->
+    planes [8, T, T, rows, stride] uint8 where
+    planes[o, ry, rx, gy, gx] = resp[o, gy*T + ry, gx*T + rx], zero-padded by
+    `max_cells` grid cells bottom/right so that shifted slices of templates up
+    to max_cells x max_cells grid cells stay in bounds.
+    """
+    o, h, w = resp.shape
+    ch, cw, rows, stride = linear_plane_shape(h, w, t, max_cells)
+    x = resp.reshape(o, ch, t, cw, t)
+    x = x.transpose(0, 2, 4, 1, 3)  # [8, T, T, ch, cw]
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, rows - ch), (0, stride - cw)))
+    return x
+
+
+def feature_flat_offsets(
+    xs: np.ndarray, ys: np.ndarray, oris: np.ndarray, t: int, rows: int, stride: int
+) -> np.ndarray:
+    """Flat base offsets into linearized planes for features at (x, y, ori).
+
+    With planes viewed as flat [8*T*T*rows*stride], the response for a feature
+    at template offset (x, y) with orientation `ori`, evaluated at grid
+    position (gy, gx), lives at offset[f] + gy*stride + gx.
+    """
+    ry = ys % t
+    rx = xs % t
+    sy = ys // t
+    sx = xs // t
+    plane = (oris * t + ry) * t + rx
+    return (plane * rows + sy) * stride + sx
