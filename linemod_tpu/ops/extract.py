@@ -30,11 +30,14 @@ NUM_FEATURES = 63
 
 
 def erode_mask(mask: jax.Array, iterations: int = 1) -> jax.Array:
-    """3x3 binary erosion (cv::erode with default kernel, src/HighLevelLinemod.cpp:91)."""
+    """3x3 binary erosion (cv::erode with default kernel, src/HighLevelLinemod.cpp:91).
+
+    Min-reduce with +inf padding: image borders do not erode inward, matching
+    OpenCV's default border handling for erode."""
     m = mask.astype(jnp.float32)
     for _ in range(iterations):
-        m = -jax.lax.reduce_window(
-            -m, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME"
+        m = jax.lax.reduce_window(
+            m, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
         )
     return m > 0.5
 

@@ -1,0 +1,262 @@
+"""Detect-time template matching: coarse-to-fine pyramid scan.
+
+The online half of the matching engine (what `cv::linemod::Detector::match`
+does inside OpenCV, called at src/HighLevelLinemod.cpp:152), re-designed for
+TPU:
+
+- the whole template bank is scored *densely* at the coarse pyramid level
+  (half resolution, T=8 spreading) as one batched gather-accumulate over the
+  linearized response planes — every template at every grid cell, no
+  data-dependent control flow;
+- a static top-K of (template, cell) candidates is refined at the fine level
+  (full resolution, T=2 color-only / T=5 dual) over the 8x8 sub-cell
+  positions the coarse cell covers;
+- similarity = 100 * raw / (4 * num_features), matches kept at the detector
+  threshold (linemod_settings.yml:29).
+
+This module is the pure-XLA reference implementation; ops/similarity_pallas.py
+provides the VMEM-resident Pallas kernel for the same contraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extract import downsample2
+from .gradients import quantize_color_gradients
+from .normals import quantize_normals
+from .spread import (
+    feature_flat_offsets,
+    linear_plane_shape,
+    linearize,
+    response_maps,
+    spread_orientations,
+)
+
+MAX_RESPONSE = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    width: int = 640
+    height: int = 480
+    t_fine: int = 2  # T at level 0 (2 color-only, 5 dual; src/HighLevelLinemod.cpp:32,40)
+    t_coarse: int = 8  # T at level 1
+    top_k: int = 512
+    threshold: float = 80.0
+    dual_modality: bool = False
+    template_chunk: int = 256
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse"],
+    meta_fields=["cfg", "n_templates", "fine_shape", "coarse_shape",
+                 "max_cells_fine", "max_cells_coarse"],
+)
+@dataclasses.dataclass
+class MatchState:
+    """Device-resident bank data in scan layout (a pytree: array leaves +
+    static geometry metadata)."""
+
+    cfg: MatchConfig
+    n_templates: int
+    off_fine: jax.Array  # [N, F_tot] int32 flat offsets into fine planes
+    off_coarse: jax.Array  # [N, F_tot] int32 flat offsets into coarse planes
+    nf_fine: jax.Array  # [N] int32 valid feature counts
+    nf_coarse: jax.Array
+    lim_coarse: jax.Array  # [N, 2] int32 (gy_lim, gx_lim) valid cell bounds
+    fine_shape: tuple  # (ch, cw, rows, stride)
+    coarse_shape: tuple
+    max_cells_fine: int
+    max_cells_coarse: int
+
+
+def _level_offsets(feats, valids, t, rows, stride, plane_base, zero_base):
+    xs = feats[:, :, 0].astype(np.int64)
+    ys = feats[:, :, 1].astype(np.int64)
+    oris = feats[:, :, 2].astype(np.int64)
+    off = feature_flat_offsets(xs, ys, oris, t, rows, stride) + plane_base
+    return np.where(valids, off, zero_base).astype(np.int32)
+
+
+def build_match_state(bank, cfg: MatchConfig) -> MatchState:
+    """Precompute per-template flat plane offsets from a TemplateBank."""
+    n = bank.num_templates
+    # max template extent in grid cells at each level (static pad)
+    bw = bank.bbox[:, 2]
+    bh = bank.bbox[:, 3]
+    mc_fine = int(np.ceil(max(bw.max(), bh.max()) / cfg.t_fine)) + 1
+    mc_coarse = int(np.ceil(max(bw.max(), bh.max()) / 2 / cfg.t_coarse)) + 1
+
+    fine = linear_plane_shape(cfg.height, cfg.width, cfg.t_fine, mc_fine)
+    coarse = linear_plane_shape(cfg.height // 2, cfg.width // 2, cfg.t_coarse, mc_coarse)
+    _, _, rows_f, stride_f = fine
+    _, _, rows_c, stride_c = coarse
+    plane_f = rows_f * stride_f
+    plane_c = rows_c * stride_c
+    n_planes_f = 8 * cfg.t_fine * cfg.t_fine
+    n_planes_c = 8 * cfg.t_coarse * cfg.t_coarse
+    n_mods = 2 if cfg.dual_modality else 1
+    zero_f = n_mods * n_planes_f * plane_f
+    zero_c = n_mods * n_planes_c * plane_c
+
+    offs_f = [_level_offsets(bank.feat0, bank.valid0, cfg.t_fine, rows_f, stride_f, 0, zero_f)]
+    offs_c = [_level_offsets(bank.feat1, bank.valid1, cfg.t_coarse, rows_c, stride_c, 0, zero_c)]
+    nf_f = bank.valid0.sum(1)
+    nf_c = bank.valid1.sum(1)
+    if cfg.dual_modality:
+        offs_f.append(
+            _level_offsets(
+                bank.nfeat0, bank.nvalid0, cfg.t_fine, rows_f, stride_f,
+                n_planes_f * plane_f, zero_f,
+            )
+        )
+        offs_c.append(
+            _level_offsets(
+                bank.nfeat1, bank.nvalid1, cfg.t_coarse, rows_c, stride_c,
+                n_planes_c * plane_c, zero_c,
+            )
+        )
+        nf_f = nf_f + bank.nvalid0.sum(1)
+        nf_c = nf_c + bank.nvalid1.sum(1)
+    # inert (padding) templates have zero features; clamp to avoid 0-division
+    nf_f = np.maximum(nf_f, 1)
+    nf_c = np.maximum(nf_c, 1)
+
+    # coarse-cell bounds where the template still fits in the image
+    ch, cw = coarse[0], coarse[1]
+    gy_lim = ch - np.ceil(bh / 2 / cfg.t_coarse).astype(np.int64)
+    gx_lim = cw - np.ceil(bw / 2 / cfg.t_coarse).astype(np.int64)
+
+    return MatchState(
+        cfg=cfg,
+        n_templates=n,
+        off_fine=jnp.asarray(np.concatenate(offs_f, axis=1)),
+        off_coarse=jnp.asarray(np.concatenate(offs_c, axis=1)),
+        nf_fine=jnp.asarray(nf_f.astype(np.int32)),
+        nf_coarse=jnp.asarray(nf_c.astype(np.int32)),
+        lim_coarse=jnp.asarray(
+            np.stack([gy_lim, gx_lim], axis=1).astype(np.int32)
+        ),
+        fine_shape=fine,
+        coarse_shape=coarse,
+        max_cells_fine=mc_fine,
+        max_cells_coarse=mc_coarse,
+    )
+
+
+def _planes_flat(color, depth, t, max_cells, dual):
+    """Quantize one pyramid level and return flattened linearized planes
+    (+ zero tail so invalid-feature offsets read zeros)."""
+    quant, _ = quantize_color_gradients(color)
+    h, w = quant.shape
+    hp = h - h % t
+    wp = w - w % t
+    quant = quant[:hp, :wp]
+    planes = [linearize(response_maps(spread_orientations(quant, t)), t, max_cells)]
+    if dual:
+        nquant, _ = quantize_normals(depth)
+        nquant = nquant[:hp, :wp]
+        planes.append(
+            linearize(response_maps(spread_orientations(nquant, t)), t, max_cells)
+        )
+    flat = jnp.concatenate([p.reshape(-1) for p in planes])
+    _, _, rows, stride = linear_plane_shape(h, w, t, max_cells)
+    tail = jnp.zeros((rows * stride + stride,), jnp.uint8)
+    return jnp.concatenate([flat, tail])
+
+
+@jax.jit
+def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
+    """Full coarse-to-fine match of the whole bank against one frame.
+
+    color: [H, W, 3] f32 0..255; depth: [H, W] f32 mm (ignored unless dual).
+    Returns dict with per-candidate template_id, x, y (level-0 pixel coords of
+    the bbox top-left), similarity (percent), valid — all [top_k], sorted by
+    similarity descending.
+    """
+    cfg = state.cfg
+    # --- per-frame precomputation ---------------------------------------
+    color1 = downsample2(color)
+    depth1 = depth[::2, ::2]
+    fine_flat = _planes_flat(color, depth, cfg.t_fine, state.max_cells_fine, cfg.dual_modality)
+    coarse_flat = _planes_flat(
+        color1, depth1, cfg.t_coarse, state.max_cells_coarse, cfg.dual_modality
+    )
+
+    ch, cw, rows_c, stride_c = state.coarse_shape
+    _, _, rows_f, stride_f = state.fine_shape
+
+    # --- coarse: dense scores for every template at every grid cell ------
+    grid = (
+        jnp.arange(ch, dtype=jnp.int32)[:, None] * stride_c
+        + jnp.arange(cw, dtype=jnp.int32)[None, :]
+    ).reshape(-1)  # [G]
+
+    def chunk_scores(off_chunk):
+        idx = off_chunk[:, :, None] + grid[None, None, :]
+        vals = coarse_flat[idx].astype(jnp.int32)  # [C, F, G]
+        return vals.sum(axis=1)  # [C, G]
+
+    n_chunks = state.off_coarse.shape[0] // cfg.template_chunk
+    off_chunks = state.off_coarse.reshape(n_chunks, cfg.template_chunk, -1)
+    scores = jax.lax.map(chunk_scores, off_chunks).reshape(-1, grid.shape[0])
+
+    gy = jnp.broadcast_to(jnp.arange(ch, dtype=jnp.int32)[:, None], (ch, cw)).reshape(-1)
+    gx = jnp.broadcast_to(jnp.arange(cw, dtype=jnp.int32)[None, :], (ch, cw)).reshape(-1)
+    fits = (gy[None, :] < state.lim_coarse[:, 0:1]) & (
+        gx[None, :] < state.lim_coarse[:, 1:2]
+    )
+    sim_c = (
+        scores.astype(jnp.float32)
+        * 100.0
+        / (MAX_RESPONSE * state.nf_coarse[:, None].astype(jnp.float32))
+    )
+    sim_c = jnp.where(fits, sim_c, -1.0)
+
+    # --- static top-K candidates ----------------------------------------
+    flat_sim = sim_c.reshape(-1)
+    top_sim, top_idx = jax.lax.top_k(flat_sim, cfg.top_k)
+    cand_t = (top_idx // grid.shape[0]).astype(jnp.int32)
+    cand_g = (top_idx % grid.shape[0]).astype(jnp.int32)
+    cand_gy = cand_g // cw
+    cand_gx = cand_g % cw
+
+    # --- fine: refine each candidate over the 8x8 sub-cell window --------
+    scale = (2 * cfg.t_coarse) // cfg.t_fine  # sub-cells per coarse cell
+    sub = (
+        jnp.arange(scale, dtype=jnp.int32)[:, None] * stride_f
+        + jnp.arange(scale, dtype=jnp.int32)[None, :]
+    ).reshape(-1)  # [scale^2]
+    base = (cand_gy * scale) * stride_f + cand_gx * scale  # [K]
+    pos = base[:, None] + sub[None, :]  # [K, S]
+    offs = state.off_fine[cand_t]  # [K, F]
+    idx = offs[:, :, None] + pos[:, None, :]
+    fine_scores = fine_flat[idx].astype(jnp.int32).sum(axis=1)  # [K, S]
+    best = jnp.argmax(fine_scores, axis=1)
+    best_raw = jnp.take_along_axis(fine_scores, best[:, None], axis=1)[:, 0]
+    sim = (
+        best_raw.astype(jnp.float32)
+        * 100.0
+        / (MAX_RESPONSE * state.nf_fine[cand_t].astype(jnp.float32))
+    )
+    dy = best // scale
+    dx = best % scale
+    x = (cand_gx * scale + dx) * cfg.t_fine
+    y = (cand_gy * scale + dy) * cfg.t_fine
+
+    valid = (sim >= cfg.threshold) & (top_sim > 0)
+    order = jnp.argsort(-jnp.where(valid, sim, -1.0))
+    return {
+        "template_id": cand_t[order],
+        "x": x[order],
+        "y": y[order],
+        "similarity": sim[order],
+        "valid": valid[order],
+    }

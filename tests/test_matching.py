@@ -1,0 +1,194 @@
+"""Matching-engine tests: spread/response/linearize units + cube self-match E2E."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from linemod_tpu.config import CameraParameters, ModelProperties, TemplateSettings
+from linemod_tpu.models.template_bank import build_template_bank
+from linemod_tpu.ops.rasterizer import mesh_to_arrays, render_views
+from linemod_tpu.ops.spread import (
+    SIMILARITY,
+    feature_flat_offsets,
+    linear_plane_shape,
+    linearize,
+    response_maps,
+    spread_orientations,
+)
+from linemod_tpu.pipeline.pose_detection import PoseDetection
+from linemod_tpu.utils.geometry import quat_to_mat
+from linemod_tpu.utils.ply import Mesh
+
+
+def cube_mesh(half=40.0):
+    v = np.array(
+        [[sx, sy, sz] for sx in (-half, half) for sy in (-half, half) for sz in (-half, half)],
+        np.float32,
+    )
+    faces = []
+    for axis in range(3):
+        for side in (0, 1):
+            idx = [i for i in range(8) if (i >> (2 - axis)) & 1 == side]
+            faces += [[idx[0], idx[1], idx[2]], [idx[1], idx[3], idx[2]]]
+    colors = (v - v.min()) / (v.max() - v.min())  # corner-coded colors
+    return Mesh(vertices=v, colors=colors.astype(np.float32), indices=np.asarray(faces, np.uint32))
+
+
+class TestSpread:
+    def test_spread_window(self):
+        q = np.zeros((16, 16), np.uint8)
+        q[4, 4] = 0b00000010
+        s = np.asarray(spread_orientations(jnp.asarray(q), 2))
+        # forward window: positions (y, x) with y in {3,4}, x in {3,4} see the bit
+        assert s[3, 3] == 2 and s[4, 4] == 2 and s[3, 4] == 2
+        assert s[5, 4] == 0 and s[4, 5] == 0 and s[2, 2] == 0
+
+    def test_response_map_values(self):
+        sp = np.zeros((8, 8), np.uint8)
+        sp[0, 0] = 0b00000001  # orientation bin 0
+        r = np.asarray(response_maps(jnp.asarray(sp)))
+        assert r[0, 0, 0] == 4  # same bin
+        assert r[1, 0, 0] == 3 and r[7, 0, 0] == 3  # adjacent (circular)
+        assert r[4, 0, 0] == 0  # perpendicular
+        sp[0, 0] = 0b00010001  # bins 0 and 4
+        r = np.asarray(response_maps(jnp.asarray(sp)))
+        assert r[2, 0, 0] == 2  # max(sim(2,0)=2, sim(2,4)=2)
+        assert r[0, 0, 0] == 4
+
+    def test_similarity_table(self):
+        assert SIMILARITY[0, 0] == 4
+        assert SIMILARITY[0, 4] == 0
+        np.testing.assert_array_equal(SIMILARITY, SIMILARITY.T)
+
+    def test_linearize_offsets_consistency(self, rng):
+        t = 4
+        h, w = 32, 64
+        resp = rng.integers(0, 5, size=(8, h, w)).astype(np.uint8)
+        mc = 3
+        planes = np.asarray(linearize(jnp.asarray(resp), t, mc))
+        ch, cw, rows, stride = linear_plane_shape(h, w, t, mc)
+        flat = planes.reshape(-1)
+        for _ in range(50):
+            x, y, o = rng.integers(0, 12), rng.integers(0, 12), rng.integers(0, 8)
+            gx, gy = rng.integers(0, cw - 3), rng.integers(0, ch - 3)
+            off = feature_flat_offsets(
+                np.array([x]), np.array([y]), np.array([o]), t, rows, stride
+            )[0]
+            assert flat[off + gy * stride + gx] == resp[o, gy * t + y, gx * t + x]
+
+
+@pytest.fixture(scope="module")
+def cube_setup():
+    cam = CameraParameters(fx=500.0, fy=500.0, cx=320, cy=240, width=640, height=480)
+    settings = TemplateSettings(
+        distance_start=600,
+        distance_stop=600,
+        distance_step=50,
+        subdivisions=0,
+        angle_start=-45,
+        angle_stop=45,
+        angle_step=45,
+        detector_threshold=80.0,
+        use_depth_improvement=True,
+        depth_offset=0.0,
+    )
+    props = ModelProperties(
+        lower_color_range=(0.0, 0.0, 0.0),
+        upper_color_range=(255.0, 255.0, 255.0),
+        rotationally_symmetrical=False,
+        planes_of_symmetry=(1.0, 1.0, 1.0),
+    )
+    mesh = cube_mesh()
+    bank = build_template_bank(mesh, "cube", cam, settings, props)
+    return cam, settings, props, mesh, bank
+
+
+class TestBank:
+    def test_bank_shape(self, cube_setup):
+        cam, settings, props, mesh, bank = cube_setup
+        # icosahedron subdiv 0 pruned to first octant: 3 viewpoints x 3 angles
+        assert bank.num_templates == 9
+        assert bank.feat0.shape == (9, 64, 3)
+        assert np.all(bank.valid0.sum(1) >= 8)
+        assert np.all(bank.z == 600.0)
+        # median depth must be near the cube front face (600 - ~40..70 mm)
+        assert np.all(bank.median_depth > 450)
+        assert np.all(bank.median_depth < 620)
+
+    def test_bank_bbox_centered(self, cube_setup):
+        cam, settings, props, mesh, bank = cube_setup
+        # object is centred: bbox centre within a few px of image centre
+        cx = bank.bbox[:, 0] + bank.bbox[:, 2] / 2
+        cy = bank.bbox[:, 1] + bank.bbox[:, 3] / 2
+        assert np.all(np.abs(cx - 320) < 12)
+        assert np.all(np.abs(cy - 240) < 12)
+
+    def test_save_load_roundtrip(self, cube_setup, tmp_path):
+        _, _, _, _, bank = cube_setup
+        p = str(tmp_path / "bank.npz")
+        bank.save(p)
+        from linemod_tpu.models.template_bank import TemplateBank
+
+        b2 = TemplateBank.load(p)
+        assert b2.class_id == "cube"
+        np.testing.assert_array_equal(b2.feat0, bank.feat0)
+        np.testing.assert_allclose(b2.quat, bank.quat)
+
+
+class TestSelfMatch:
+    def test_detect_rendered_template(self, cube_setup):
+        cam, settings, props, mesh, bank = cube_setup
+        # render the scene exactly at template 4's pose (viewpoint 1, angle 0)
+        t = 4
+        rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+        depth, color = render_views(
+            mesh_to_arrays(mesh), rot[None], np.array([[0, 0, 600.0]], np.float32),
+            cam, with_color=True,
+        )
+        color_u8 = (np.asarray(color)[0] * 255).astype(np.uint8)
+        depth_mm = np.asarray(depth)[0].astype(np.uint16)
+
+        det = PoseDetection(bank, cam, settings, props)
+        from linemod_tpu.pipeline.pose_detection import DetectionDebug
+
+        dbg = DetectionDebug()
+        poses = det.detect(color_u8, depth_mm, num_objects=1, debug=dbg)
+        assert dbg.num_raw_matches > 0
+        assert len(poses) == 1
+        pose = poses[0]
+        # translation: object is at (0, 0, 600)
+        assert abs(pose.translation[0]) < 15
+        assert abs(pose.translation[1]) < 15
+        assert abs(pose.translation[2] - 600) < 25
+        # rotation within a few degrees of the template pose
+        r_est = quat_to_mat(pose.quaternion)
+        rel = r_est @ rot.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+        assert ang < 10.0
+
+    def test_detect_translated_object(self, cube_setup):
+        cam, settings, props, mesh, bank = cube_setup
+        t = 4
+        rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+        shift = np.array([[60.0, -40.0, 600.0]], np.float32)
+        depth, color = render_views(
+            mesh_to_arrays(mesh), rot[None], shift, cam, with_color=True
+        )
+        color_u8 = (np.asarray(color)[0] * 255).astype(np.uint8)
+        depth_mm = np.asarray(depth)[0].astype(np.uint16)
+
+        det = PoseDetection(bank, cam, settings, props)
+        poses = det.detect(color_u8, depth_mm, num_objects=1)
+        assert len(poses) == 1
+        pose = poses[0]
+        assert abs(pose.translation[0] - 60) < 15
+        assert abs(pose.translation[1] + 40) < 15
+        assert abs(pose.translation[2] - 600) < 25
+
+    def test_empty_scene_no_matches(self, cube_setup):
+        cam, settings, props, mesh, bank = cube_setup
+        det = PoseDetection(bank, cam, settings, props)
+        color = np.zeros((480, 640, 3), np.uint8)
+        depth = np.zeros((480, 640), np.uint16)
+        poses = det.detect(color, depth)
+        assert poses == []
