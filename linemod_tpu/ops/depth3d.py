@@ -1,0 +1,118 @@
+"""Depth-image -> point-cloud scene preparation for ICP.
+
+Replaces HighLevelLinemodIcp::prepareDepthForIcp (src/HighLevelLinemodIcp.cpp:38-65)
+and its OpenCV dependencies (cv::rgbd::depthTo3d, computeNormalsPC3d):
+3x3 blur, bbox crop, pinhole back-projection, outlier cut (|z - mean| > 300 mm,
+removeIfTooFarFromMean :139-165), subsampling to a static point budget, and
+k-NN plane-fit normals (k=12) oriented toward the camera — the k-NN search and
+covariance assembly ride the MXU as distance/outer-product matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCENE_POINTS = 4096  # static scene-cloud budget
+KNN = 12  # computeNormalsPC3d neighborhood (src/HighLevelLinemodIcp.cpp:64)
+OUTLIER_MM = 300.0
+WINDOW = 384  # static bbox window
+
+
+BLUR_EDGE_MM = 20.0
+
+
+@jax.jit
+def _box_blur3(depth):
+    """Edge-aware 3x3 box blur: a neighbour contributes only if it is valid
+    and within BLUR_EDGE_MM of the centre depth, so neither background zeros
+    nor internal depth steps bleed into the surface. (Deviation: the
+    reference's cv::blur averages both in, src/HighLevelLinemodIcp.cpp:42,
+    which biases the ICP target by several mm at step edges.)"""
+    pad = jnp.pad(depth, 1, mode="edge")
+    h, w = depth.shape
+    s = jnp.zeros_like(depth)
+    c = jnp.zeros_like(depth)
+    for dy in range(3):
+        for dx in range(3):
+            nb = jax.lax.dynamic_slice(pad, (dy, dx), (h, w))
+            ok = (nb > 0) & (jnp.abs(nb - depth) < BLUR_EDGE_MM)
+            s = s + jnp.where(ok, nb, 0.0)
+            c = c + ok.astype(jnp.float32)
+    return jnp.where((depth > 0), s / jnp.maximum(c, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def scene_cloud_from_depth(depth, bbox_xywh, *, fx, fy, cx, cy):
+    """Back-project the bbox region of a depth image into a fixed-size cloud.
+
+    depth: [H, W] f32 mm. bbox_xywh: [4] int32 (dynamic). Returns
+    (points [SCENE_POINTS, 3] f32, normals [SCENE_POINTS, 3] f32,
+    valid [SCENE_POINTS] bool).
+    """
+    blurred = _box_blur3(depth)
+    pad = jnp.pad(blurred, ((0, WINDOW), (0, WINDOW)))
+    x0 = bbox_xywh[0]
+    y0 = bbox_xywh[1]
+    win = jax.lax.dynamic_slice(pad, (y0, x0), (WINDOW, WINDOW))
+
+    yy = jnp.arange(WINDOW, dtype=jnp.float32)[:, None] + y0.astype(jnp.float32)
+    xx = jnp.arange(WINDOW, dtype=jnp.float32)[None, :] + x0.astype(jnp.float32)
+    in_bb = (
+        (jnp.arange(WINDOW)[:, None] < bbox_xywh[3])
+        & (jnp.arange(WINDOW)[None, :] < bbox_xywh[2])
+    )
+    valid = in_bb & (win > 0)
+
+    z = win
+    px = (xx - cx) * z / fx
+    py = (yy - cy) * z / fy
+    pts = jnp.stack([px, py, z], axis=-1).reshape(-1, 3)
+    valid = valid.reshape(-1)
+
+    # outlier cut: |z - mean_z| > 300 mm over valid points
+    zf = pts[:, 2]
+    mean_z = jnp.sum(jnp.where(valid, zf, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    valid = valid & (jnp.abs(zf - mean_z) <= OUTLIER_MM)
+
+    # deterministic subsample: stable-sort valid-first, take SCENE_POINTS with
+    # a stride that spreads picks over the window (row subsampling analogue)
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    n_valid = jnp.sum(valid)
+    stride = jnp.maximum(n_valid // SCENE_POINTS, 1)
+    pick = (jnp.arange(SCENE_POINTS) * stride) % jnp.maximum(n_valid, 1)
+    idx = order[pick]
+    pts_s = pts[idx]
+    valid_s = valid[idx] & (jnp.arange(SCENE_POINTS) < n_valid)
+
+    normals = knn_plane_normals(pts_s, valid_s)
+    return pts_s, normals, valid_s
+
+
+@jax.jit
+def knn_plane_normals(points, valid):
+    """k-NN plane-fit normals oriented toward the camera origin.
+
+    points: [N, 3], valid: [N]. Covariances of the k nearest neighbors per
+    point; the normal is the smallest-eigenvalue eigenvector.
+    """
+    big = jnp.float32(1e12)
+    p2 = jnp.sum(points * points, axis=1)
+    d2 = p2[:, None] + p2[None, :] - 2.0 * jnp.dot(
+        points, points.T, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = jnp.where(valid[None, :], d2, big)
+    _, nbr = jax.lax.top_k(-d2, KNN)  # [N, K]
+    nb = points[nbr]  # [N, K, 3]
+    mean = jnp.mean(nb, axis=1, keepdims=True)
+    c = nb - mean
+    cov = jnp.einsum("nki,nkj->nij", c, c)  # [N, 3, 3]
+    # exact smallest-eigenvalue eigenvector (batched 3x3 eigh; ascending order)
+    _, vecs = jnp.linalg.eigh(cov)
+    v = vecs[:, :, 0]
+    # orient toward the viewpoint (camera origin): n . p < 0
+    flip = jnp.sum(v * points, axis=1, keepdims=True) > 0
+    return jnp.where(flip, -v, v)
