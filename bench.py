@@ -1,0 +1,119 @@
+"""Benchmark entry point: prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json): detector frames/sec per chip on the bundled
+benchmark frame (`benchmark/img0.png`, lagergehaeuse bank, shipped
+color-only config), with the detected pose validated against the captured
+ground truth via VSD (< 0.3 correct criterion) before timing is reported.
+
+vs_baseline compares against the single-host CPU run of this same pipeline
+(the reference publishes no numbers and its OpenMP/OpenGL build does not
+exist on this machine, BASELINE.md): measured once and cached in
+baseline_cpu.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+EXAMPLE = os.path.join(REPO, "example")
+CPU_BASELINE_FILE = os.path.join(REPO, "baseline_cpu.json")
+FRAMES = 30
+
+
+def run_pipeline(report_accuracy: bool):
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import cv2
+
+    from linemod_tpu.config import load_model_properties, load_settings
+    from linemod_tpu.models.template_bank import TemplateBank
+    from linemod_tpu.pipeline.pose_detection import PoseDetection
+    from linemod_tpu.pipeline.benchmark import Benchmark, read_ground_truth_pose
+    from linemod_tpu.pipeline.template_generator import TemplateGenerator
+    from linemod_tpu.utils.ply import load_ply
+
+    os.chdir(EXAMPLE)
+    cam, settings = load_settings("linemod_settings.yml")
+    gen = TemplateGenerator(cam, settings, out_dir="banks")
+    bank_path = gen.bank_path("lagergehaeuse.ply")
+    if not os.path.exists(bank_path):
+        gen.run(verbose=False)
+    bank = TemplateBank.load(bank_path)
+    props = load_model_properties("models/lagergehaeuse.ply")
+    det = PoseDetection(bank, cam, settings, props)
+
+    color = cv2.imread("benchmark/img0.png")
+    depth = cv2.imread("benchmark/depth0.png", cv2.IMREAD_ANYDEPTH)
+
+    # warmup (compile)
+    poses = det.detect(color, depth, 1)
+    vsd = None
+    if report_accuracy:
+        mesh = load_ply("models/lagergehaeuse.ply")
+        bench = Benchmark(mesh, cam)
+        gt = read_ground_truth_pose("benchmark/pose0.yml")
+        if poses:
+            scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
+            vsd = bench.score_vsd(scene, gt, poses[0])
+
+    t0 = time.time()
+    for _ in range(FRAMES):
+        det.detect(color, depth, 1)
+    dt = (time.time() - t0) / FRAMES
+    return 1.0 / dt, vsd, len(poses)
+
+
+def measure_cpu_baseline() -> float:
+    """One-off CPU measurement of the same pipeline, cached to disk."""
+    if os.path.exists(CPU_BASELINE_FILE):
+        with open(CPU_BASELINE_FILE) as f:
+            return json.load(f)["cpu_fps"]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-worker"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    cpu_fps = json.loads(line)["fps"]
+    with open(CPU_BASELINE_FILE, "w") as f:
+        json.dump({"cpu_fps": cpu_fps}, f)
+    return cpu_fps
+
+
+def main():
+    if "--cpu-worker" in sys.argv:
+        fps, _, _ = run_pipeline(report_accuracy=False)
+        print(json.dumps({"fps": fps}))
+        return
+
+    fps, vsd, n_poses = run_pipeline(report_accuracy=True)
+    try:
+        cpu_fps = measure_cpu_baseline()
+    except Exception:
+        cpu_fps = None
+    ok = n_poses > 0 and (vsd is None or vsd < 0.3)
+    result = {
+        "metric": "detector_fps_per_chip"
+        + ("" if ok else "_ACCURACY_FAIL"),
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Command-line entry points.
+
+Replaces the reference's three executables (CMakeLists.txt:67-69):
+`Template_Generator` -> `generate`, `Detector` -> `detect` (+`evaluate`),
+`Arcuo_Benchmark` -> `aruco`. Unlike the reference (which has no argument
+parsing and hardcodes paths, detector.cpp:7-42), sources and models are flags;
+configuration still comes from the same `linemod_settings.yml`.
+
+Usage:
+    python -m linemod_tpu.cli generate [--settings F] [--banks DIR]
+    python -m linemod_tpu.cli detect --model lagergehaeuse.ply \
+        [--images benchmark/img%d.png --depths benchmark/depth%d.png] \
+        [--benchmark] [--display OUT_DIR]
+    python -m linemod_tpu.cli aruco --out board.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_image_pair(img_tpl: str, depth_tpl: str, i: int):
+    import cv2
+
+    img_path = img_tpl % i if "%" in img_tpl else img_tpl
+    depth_path = depth_tpl % i if "%" in depth_tpl else depth_tpl
+    if not os.path.exists(img_path):
+        return None, None
+    color = cv2.imread(img_path)
+    if depth_path.endswith(".dpt"):
+        from .utils.io import load_depth_linemod_dataset
+
+        depth = load_depth_linemod_dataset(depth_path)
+    else:
+        depth = cv2.imread(depth_path, cv2.IMREAD_ANYDEPTH)
+    return color, depth
+
+
+def cmd_generate(args):
+    from .config import load_settings
+    from .pipeline.template_generator import TemplateGenerator
+
+    cam, settings = load_settings(args.settings)
+    gen = TemplateGenerator(cam, settings, out_dir=args.banks)
+    gen.run()
+    return 0
+
+
+def cmd_detect(args):
+    from .config import load_model_properties, load_settings
+    from .models.template_bank import TemplateBank
+    from .ops.icp import IcpRefiner
+    from .ops.rasterizer import mesh_to_arrays
+    from .pipeline.benchmark import Benchmark, read_ground_truth_pose
+    from .pipeline.pose_detection import PoseDetection
+    from .utils.draw import draw_coordinate_system
+    from .utils.ply import load_ply
+
+    cam, settings = load_settings(args.settings)
+    model_path = os.path.join(settings.model_folder, args.model)
+    bank_path = os.path.join(args.banks, os.path.splitext(args.model)[0] + ".npz")
+    if not os.path.exists(bank_path):
+        print(f"error: no bank at {bank_path}; run generate first", file=sys.stderr)
+        return 2
+    bank = TemplateBank.load(bank_path)
+    props = load_model_properties(model_path)
+    mesh = load_ply(model_path)
+    marr = mesh_to_arrays(mesh)
+    icp = (
+        IcpRefiner(mesh, cam, settings.icp_subsampling_factor, mesh_arrays=marr)
+        if settings.use_icp
+        else None
+    )
+    det = PoseDetection(bank, cam, settings, props, mesh=mesh, icp=icp)
+    bench = Benchmark(mesh, cam) if args.benchmark else None
+
+    i = 0
+    times = []
+    while True:
+        color, depth = _load_image_pair(args.images, args.depths, i)
+        if color is None:
+            if i == 0:
+                print("error: no input images", file=sys.stderr)
+                return 2
+            break
+        t0 = time.time()
+        poses = det.detect(color, depth, args.num_objects)
+        times.append(time.time() - t0)
+        msg = f"frame {i}: {len(poses)} pose(s) in {times[-1]*1000:.1f} ms"
+        if poses and bench is not None:
+            gt = read_ground_truth_pose(
+                os.path.join(os.path.dirname(args.images % 0), f"pose{i}.yml")
+            )
+            scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
+            err = bench.score_vsd(scene, gt, poses[0])
+            bench.next_image()
+            msg += f"  VSD error: {err:.3f}  ({bench.hodan_score:.0f}% correct)"
+        elif bench is not None:
+            bench.next_image()
+        print(msg)
+        if args.display and poses:
+            import cv2
+
+            out = color.copy()
+            for p in poses:
+                draw_coordinate_system(out, cam, 75.0, p)
+            os.makedirs(args.display, exist_ok=True)
+            cv2.imwrite(os.path.join(args.display, f"det{i}.png"), out)
+        i += 1
+        if args.max_frames and i >= args.max_frames:
+            break
+    if times:
+        print(
+            f"{i} frames, mean {np.mean(times)*1000:.1f} ms "
+            f"({1.0/np.mean(times):.2f} fps)"
+        )
+    return 0
+
+
+def cmd_aruco(args):
+    from .pipeline.aruco_capture import create_aruco_board
+
+    create_aruco_board(args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def _enable_compile_cache():
+    """Persist XLA executables across runs (remote TPU compiles take minutes)."""
+    try:
+        import jax
+
+        cache = os.environ.get("LINEMOD_TPU_JAX_CACHE", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    _enable_compile_cache()
+    p = argparse.ArgumentParser(prog="linemod_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="build template banks for all models")
+    g.add_argument("--settings", default="linemod_settings.yml")
+    g.add_argument("--banks", default="banks")
+    g.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("detect", help="run detection over an image sequence")
+    d.add_argument("--settings", default="linemod_settings.yml")
+    d.add_argument("--banks", default="banks")
+    d.add_argument("--model", required=True)
+    d.add_argument("--images", default="benchmark/img%d.png")
+    d.add_argument("--depths", default="benchmark/depth%d.png")
+    d.add_argument("--num-objects", type=int, default=1)
+    d.add_argument("--benchmark", action="store_true")
+    d.add_argument("--display", default="", help="directory for overlay images")
+    d.add_argument("--max-frames", type=int, default=0)
+    d.set_defaults(fn=cmd_detect)
+
+    a = sub.add_parser("aruco", help="create the aruco calibration board image")
+    a.add_argument("--out", default="aruco_board.png")
+    a.set_defaults(fn=cmd_aruco)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

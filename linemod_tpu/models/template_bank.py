@@ -108,6 +108,57 @@ class TemplateBank:
         return TemplateBank(class_id=meta["class_id"], dual_modality=meta["dual_modality"], **d)
 
 
+def make_synthetic_bank(
+    n_templates: int,
+    seed: int = 0,
+    bbox_wh: int = 48,
+    image_wh=(640, 480),
+    dual_modality: bool = False,
+) -> TemplateBank:
+    """Random bank for compile checks / sharding dry-runs (no rendering)."""
+    rng = np.random.default_rng(seed)
+    w, h = image_wh
+
+    def feats(scale):
+        f = np.zeros((n_templates, MAX_FEATURES, 3), np.int16)
+        f[:, :, 0] = rng.integers(0, bbox_wh // scale, (n_templates, MAX_FEATURES))
+        f[:, :, 1] = rng.integers(0, bbox_wh // scale, (n_templates, MAX_FEATURES))
+        f[:, :, 2] = rng.integers(0, 8, (n_templates, MAX_FEATURES))
+        return f
+
+    valid = np.zeros((n_templates, MAX_FEATURES), bool)
+    valid[:, :63] = True
+    bbox = np.tile(
+        np.array([[(w - bbox_wh) // 2, (h - bbox_wh) // 2, bbox_wh, bbox_wh]], np.int32),
+        (n_templates, 1),
+    )
+    quat = np.tile(np.array([[0.0, 1.0, 0.0, 0.0]], np.float32), (n_templates, 1))
+    hull = np.zeros((n_templates, HULL_VERTS, 2), np.float32)
+    hull[:, 0] = (0, 0)
+    hull[:, 1] = (bbox_wh, 0)
+    hull[:, 2:] = (bbox_wh, bbox_wh)
+    kw = {}
+    if dual_modality:
+        kw = dict(
+            nfeat0=feats(1), nvalid0=valid.copy(),
+            nfeat1=feats(2), nvalid1=valid.copy(),
+        )
+    return TemplateBank(
+        class_id="synthetic",
+        feat0=feats(1),
+        valid0=valid.copy(),
+        feat1=feats(2),
+        valid1=valid.copy(),
+        bbox=bbox,
+        quat=quat,
+        z=np.full((n_templates,), 600.0, np.float32),
+        median_depth=np.full((n_templates,), 580.0, np.float32),
+        hull=hull,
+        dual_modality=dual_modality,
+        **kw,
+    )
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; points [M, 2] -> hull vertices CCW."""
     pts = np.unique(points, axis=0)

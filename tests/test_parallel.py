@@ -1,0 +1,87 @@
+"""Sharded-matching tests on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from linemod_tpu.config import CameraParameters, ModelProperties, TemplateSettings
+from linemod_tpu.models.template_bank import build_template_bank
+from linemod_tpu.ops.matching import MatchConfig, build_match_state, match_templates
+from linemod_tpu.ops.rasterizer import mesh_to_arrays, render_views
+from linemod_tpu.parallel.mesh import make_mesh
+from linemod_tpu.parallel.sharded_match import make_sharded_matcher, shard_state
+from linemod_tpu.pipeline.pose_detection import _pad_bank
+from linemod_tpu.utils.geometry import quat_to_mat
+
+from test_matching import cube_mesh
+
+
+@pytest.fixture(scope="module")
+def cube_bank_scene():
+    cam = CameraParameters(fx=500.0, fy=500.0, cx=320, cy=240, width=640, height=480)
+    settings = TemplateSettings(
+        distance_start=600, distance_stop=600, subdivisions=0,
+        angle_start=-45, angle_stop=45, angle_step=45,
+    )
+    props = ModelProperties(planes_of_symmetry=(1.0, 1.0, 1.0))
+    mesh = cube_mesh()
+    bank = build_template_bank(mesh, "cube", cam, settings, props)
+    t = 4
+    rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+    depth, color = render_views(
+        mesh_to_arrays(mesh), rot[None], np.array([[0, 0, 600.0]], np.float32),
+        cam, with_color=True,
+    )
+    color = np.asarray(color)[0] * 255.0
+    depth = np.asarray(depth)[0]
+    return bank, color, depth
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_match_equals_single(cube_bank_scene):
+    bank, color, depth = cube_bank_scene
+    cfg = MatchConfig(top_k=64, template_chunk=2, threshold=80.0)
+    padded = _pad_bank(bank, 16)  # 16 templates over tp=8 -> 2 per shard
+    state = build_match_state(padded, cfg)
+
+    single = {k: np.asarray(v) for k, v in match_templates(
+        state, jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32)
+    ).items()}
+
+    mesh = make_mesh(8, dp=1)
+    sstate = shard_state(state, mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    out = matcher(
+        jnp.asarray(color[None], jnp.float32), jnp.asarray(depth[None], jnp.float32)
+    )
+    shard = {k: np.asarray(v)[0] for k, v in out.items()}
+
+    sv = single["valid"]
+    pv = shard["valid"]
+    assert sv.sum() == pv.sum() > 0
+    # same set of (template, x, y, sim) among valid matches
+    def keyset(m, v):
+        return set(
+            zip(m["template_id"][v].tolist(), m["x"][v].tolist(),
+                m["y"][v].tolist(), np.round(m["similarity"][v], 3).tolist())
+        )
+    assert keyset(single, sv) == keyset(shard, pv)
+
+
+def test_sharded_batch_dp(cube_bank_scene):
+    bank, color, depth = cube_bank_scene
+    cfg = MatchConfig(top_k=64, template_chunk=2)
+    padded = _pad_bank(bank, 16)
+    state = build_match_state(padded, cfg)
+    mesh = make_mesh(8, dp=2)  # 2-way data parallel x 4-way template parallel
+    sstate = shard_state(state, mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    colors = jnp.asarray(np.stack([color, np.zeros_like(color)]), jnp.float32)
+    depths = jnp.asarray(np.stack([depth, np.zeros_like(depth)]), jnp.float32)
+    out = {k: np.asarray(v) for k, v in matcher(colors, depths).items()}
+    assert out["valid"][0].sum() > 0  # object frame has matches
+    assert out["valid"][1].sum() == 0  # empty frame has none
