@@ -257,26 +257,28 @@ def build_template_bank(
             props.rotationally_symmetrical,
             props.planes_of_symmetry,
         )
-        quats = np.array(
-            [template_view_pose(vp, a) for vp in vps for a in angles], np.float64
-        )
-        rots = np.array([quat_to_mat(q) for q in quats], np.float32)
-        trans = np.tile(
-            np.array([[0.0, 0.0, float(radius)]], np.float32), (len(rots), 1)
-        )
-        feats, depths = render_and_extract(jnp.asarray(rots), jnp.asarray(trans))
-        depths = np.asarray(depths)
-        f = {k: tuple(np.asarray(a) for a in v) for k, v in feats.items()}
+        # batch one viewpoint's in-plane rotations per device call: keeps the
+        # vmapped render/extract intermediates bounded (~tens of MB) while the
+        # executable is compiled once and reused for every viewpoint/radius
+        for vp in vps:
+            quats = np.array([template_view_pose(vp, a) for a in angles], np.float64)
+            rots = np.array([quat_to_mat(q) for q in quats], np.float32)
+            trans = np.tile(
+                np.array([[0.0, 0.0, float(radius)]], np.float32), (len(rots), 1)
+            )
+            feats, depths = render_and_extract(jnp.asarray(rots), jnp.asarray(trans))
+            depths = np.asarray(depths)
+            f = {k: tuple(np.asarray(a) for a in v) for k, v in feats.items()}
 
-        for i in range(len(rots)):
-            rec = _assemble_template(f, depths, i, ox, oy, dual)
-            if rec is None:
-                continue
-            for k, v in rec.items():
-                records[k].append(v)
-            records["quat"].append(quats[i].astype(np.float32))
-            records["z"].append(np.float32(radius))
-            total += 1
+            for i in range(len(rots)):
+                rec = _assemble_template(f, depths, i, ox, oy, dual)
+                if rec is None:
+                    continue
+                for k, v in rec.items():
+                    records[k].append(v)
+                records["quat"].append(quats[i].astype(np.float32))
+                records["z"].append(np.float32(radius))
+                total += 1
         if progress is not None:
             progress(float(radius), total)
 

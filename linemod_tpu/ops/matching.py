@@ -51,11 +51,13 @@ class MatchConfig:
     threshold: float = 80.0
     dual_modality: bool = False
     template_chunk: int = 256
+    use_pallas: bool = False  # VMEM-resident Pallas coarse scan (TPU only)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse"],
+    data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
+                 "off3_coarse"],
     meta_fields=["cfg", "n_templates", "fine_shape", "coarse_shape",
                  "max_cells_fine", "max_cells_coarse"],
 )
@@ -71,6 +73,7 @@ class MatchState:
     nf_fine: jax.Array  # [N] int32 valid feature counts
     nf_coarse: jax.Array
     lim_coarse: jax.Array  # [N, 2] int32 (gy_lim, gx_lim) valid cell bounds
+    off3_coarse: jax.Array  # [N, F, 3] int32 (plane, sy, sx) for the Pallas path
     fine_shape: tuple  # (ch, cw, rows, stride)
     coarse_shape: tuple
     max_cells_fine: int
@@ -134,6 +137,20 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
     gy_lim = ch - np.ceil(bh / 2 / cfg.t_coarse).astype(np.int64)
     gx_lim = cw - np.ceil(bw / 2 / cfg.t_coarse).astype(np.int64)
 
+    # (plane, sy, sx) triplet form of the coarse offsets for the Pallas kernel
+    from .similarity_pallas import feature_plane_triplets
+
+    trips = [feature_plane_triplets(bank.feat1, bank.valid1, cfg.t_coarse, n_mods * n_planes_c)]
+    if cfg.dual_modality:
+        tn = feature_plane_triplets(
+            bank.nfeat1, bank.nvalid1, cfg.t_coarse, n_mods * n_planes_c
+        )
+        tn[:, :, 0] = np.where(
+            bank.nvalid1, tn[:, :, 0] + n_planes_c, tn[:, :, 0]
+        )
+        trips.append(tn)
+    off3 = np.concatenate(trips, axis=1)
+
     return MatchState(
         cfg=cfg,
         n_templates=n,
@@ -144,6 +161,7 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
         lim_coarse=jnp.asarray(
             np.stack([gy_lim, gx_lim], axis=1).astype(np.int32)
         ),
+        off3_coarse=jnp.asarray(off3),
         fine_shape=fine,
         coarse_shape=coarse,
         max_cells_fine=mc_fine,
@@ -151,25 +169,31 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
     )
 
 
-def _planes_flat(color, depth, t, max_cells, dual):
-    """Quantize one pyramid level and return flattened linearized planes
-    (+ zero tail so invalid-feature offsets read zeros)."""
+def _planes_3d(color, depth, t, max_cells, dual):
+    """Quantize one pyramid level and return linearized planes
+    [P(+1 zero), rows, stride]; the trailing all-zero plane is where
+    invalid-feature offsets point."""
     quant, _ = quantize_color_gradients(color)
     h, w = quant.shape
     hp = h - h % t
     wp = w - w % t
     quant = quant[:hp, :wp]
-    planes = [linearize(response_maps(spread_orientations(quant, t)), t, max_cells)]
+    _, _, rows, stride = linear_plane_shape(hp, wp, t, max_cells)
+    planes = [
+        linearize(response_maps(spread_orientations(quant, t)), t, max_cells).reshape(
+            -1, rows, stride
+        )
+    ]
     if dual:
         nquant, _ = quantize_normals(depth)
         nquant = nquant[:hp, :wp]
         planes.append(
-            linearize(response_maps(spread_orientations(nquant, t)), t, max_cells)
+            linearize(
+                response_maps(spread_orientations(nquant, t)), t, max_cells
+            ).reshape(-1, rows, stride)
         )
-    flat = jnp.concatenate([p.reshape(-1) for p in planes])
-    _, _, rows, stride = linear_plane_shape(h, w, t, max_cells)
-    tail = jnp.zeros((rows * stride + stride,), jnp.uint8)
-    return jnp.concatenate([flat, tail])
+    planes.append(jnp.zeros((1, rows, stride), jnp.uint8))
+    return jnp.concatenate(planes, axis=0)
 
 
 @jax.jit
@@ -185,10 +209,14 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
     # --- per-frame precomputation ---------------------------------------
     color1 = downsample2(color)
     depth1 = depth[::2, ::2]
-    fine_flat = _planes_flat(color, depth, cfg.t_fine, state.max_cells_fine, cfg.dual_modality)
-    coarse_flat = _planes_flat(
+    fine_planes = _planes_3d(
+        color, depth, cfg.t_fine, state.max_cells_fine, cfg.dual_modality
+    )
+    coarse_planes = _planes_3d(
         color1, depth1, cfg.t_coarse, state.max_cells_coarse, cfg.dual_modality
     )
+    fine_flat = fine_planes.reshape(-1)
+    coarse_flat = coarse_planes.reshape(-1)
 
     ch, cw, rows_c, stride_c = state.coarse_shape
     _, _, rows_f, stride_f = state.fine_shape
@@ -199,14 +227,21 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
         + jnp.arange(cw, dtype=jnp.int32)[None, :]
     ).reshape(-1)  # [G]
 
-    def chunk_scores(off_chunk):
-        idx = off_chunk[:, :, None] + grid[None, None, :]
-        vals = coarse_flat[idx].astype(jnp.int32)  # [C, F, G]
-        return vals.sum(axis=1)  # [C, G]
+    if cfg.use_pallas:
+        from .similarity_pallas import TILE_H, TILE_W, coarse_scores_pallas
 
-    n_chunks = state.off_coarse.shape[0] // cfg.template_chunk
-    off_chunks = state.off_coarse.reshape(n_chunks, cfg.template_chunk, -1)
-    scores = jax.lax.map(chunk_scores, off_chunks).reshape(-1, grid.shape[0])
+        tiles = coarse_scores_pallas(coarse_planes, state.off3_coarse)
+        scores = tiles[:, :ch, :cw].reshape(-1, ch * cw)
+    else:
+
+        def chunk_scores(off_chunk):
+            idx = off_chunk[:, :, None] + grid[None, None, :]
+            vals = coarse_flat[idx].astype(jnp.int32)  # [C, F, G]
+            return vals.sum(axis=1)  # [C, G]
+
+        n_chunks = state.off_coarse.shape[0] // cfg.template_chunk
+        off_chunks = state.off_coarse.reshape(n_chunks, cfg.template_chunk, -1)
+        scores = jax.lax.map(chunk_scores, off_chunks).reshape(-1, grid.shape[0])
 
     gy = jnp.broadcast_to(jnp.arange(ch, dtype=jnp.int32)[:, None], (ch, cw)).reshape(-1)
     gx = jnp.broadcast_to(jnp.arange(cw, dtype=jnp.int32)[None, :], (ch, cw)).reshape(-1)

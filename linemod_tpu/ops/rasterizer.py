@@ -182,43 +182,34 @@ def render(
             q,
         )
         (zmin, fid, _), _ = jax.lax.scan(face_step, init, fblocks)
-        return None, (zmin, fid)
+        if not with_color:
+            return None, (zmin, fid)
+        # perspective-correct vertex color of the winning face (banded, so the
+        # per-pixel triangle gathers never materialize at full-image size)
+        hit = jnp.isfinite(zmin)
+        tri = mesh.faces[jnp.maximum(fid, 0)]  # [band_px, 3]
+        pv = p_cam[tri]  # [band_px, 3, 3]
+        c0 = jnp.cross(pv[:, 1], pv[:, 2])
+        c1 = jnp.cross(pv[:, 2], pv[:, 0])
+        c2 = jnp.cross(pv[:, 0], pv[:, 1])
+        lam = jnp.stack(
+            [jnp.sum(c0 * q, -1), jnp.sum(c1 * q, -1), jnp.sum(c2 * q, -1)],
+            axis=-1,
+        )
+        # lambda_i are already the perspective-correct 3-D barycentric weights
+        lam_sum = jnp.sum(lam, -1, keepdims=True)
+        wgt = lam / jnp.where(jnp.abs(lam_sum) < 1e-12, 1.0, lam_sum)
+        rgb = jnp.sum(wgt[..., None] * mesh.colors[tri], axis=1)
+        rgb = jnp.where(hit[:, None], rgb, 0.0)
+        return None, (zmin, fid, rgb)
 
-    _, (zmin, fid) = jax.lax.scan(
-        band_step, None, jnp.arange(nbands, dtype=jnp.float32)
-    )
-    zmin = zmin.reshape(-1)
-    fid = fid.reshape(-1)
-
+    out = jax.lax.scan(band_step, None, jnp.arange(nbands, dtype=jnp.float32))[1]
+    zmin = out[0].reshape(-1)
     hit = jnp.isfinite(zmin)
     depth = jnp.where(hit, zmin, 0.0).reshape(height, width)
     if not with_color:
         return depth
-
-    # Second pass: perspective-correct vertex color of the winning face only.
-    uu_full = (
-        jnp.tile(u, height)
-    )
-    vv_full = jnp.repeat((jnp.arange(height, dtype=jnp.float32) + oy - cy) / fy, width)
-    q_full = jnp.stack([uu_full, vv_full, jnp.ones_like(uu_full)], axis=-1)
-    tri = mesh.faces[jnp.maximum(fid, 0)]  # [P, 3]
-    pv = p_cam[tri]  # [P, 3, 3]
-    c0 = jnp.cross(pv[:, 1], pv[:, 2])
-    c1 = jnp.cross(pv[:, 2], pv[:, 0])
-    c2 = jnp.cross(pv[:, 0], pv[:, 1])
-    lam = jnp.stack(
-        [
-            jnp.sum(c0 * q_full, -1),
-            jnp.sum(c1 * q_full, -1),
-            jnp.sum(c2 * q_full, -1),
-        ],
-        axis=-1,
-    )
-    # lambda_i are already the perspective-correct 3-D barycentric weights.
-    lam_sum = jnp.sum(lam, -1, keepdims=True)
-    w = lam / jnp.where(jnp.abs(lam_sum) < 1e-12, 1.0, lam_sum)
-    rgb = jnp.sum(w[..., None] * mesh.colors[tri], axis=1)
-    rgb = jnp.where(hit[:, None], rgb, 0.0).reshape(height, width, 3)
+    rgb = out[2].reshape(height, width, 3)
     return depth, jnp.clip(rgb, 0.0, 1.0)
 
 

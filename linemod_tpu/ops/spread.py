@@ -73,11 +73,14 @@ def response_maps(spread: jax.Array) -> jax.Array:
 def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
     """Padded grid-plane shape for `linearize`: (cells_h + max_cells, row_stride).
 
-    row_stride pads the grid width + max_cells up to a multiple of 128 lanes.
+    Padding guarantees that the Pallas scan kernel's (sublane x 128-lane)
+    dynamic slices stay in bounds for any within-bank shift: rows cover at
+    least one 32-row tile plus the max shift, and the row stride covers the
+    grid width plus max shift plus a full 128-lane tile.
     """
     ch, cw = h // t, w // t
-    rows = ch + max_cells
-    stride = int(np.ceil((cw + max_cells) / 128.0)) * 128
+    rows = max(ch, 32) + max_cells
+    stride = int(np.ceil((cw + max_cells + 128) / 128.0)) * 128
     return ch, cw, rows, stride
 
 
