@@ -221,10 +221,13 @@ def build_template_bank(
     ox = (cam.width - CROP) / 2.0
     oy = (cam.height - CROP) / 2.0
 
+    # Render and extraction are compiled separately: the fused program's
+    # compile time is superlinear on the remote TPU compiler (the split
+    # halves land in the persistent compile cache independently).
     @jax.jit
-    def render_and_extract(rots, trans):
+    def render_batch(rots, trans):
         def one(rot, tr):
-            depth, color = render(
+            return render(
                 marr,
                 rot,
                 tr,
@@ -237,10 +240,18 @@ def build_template_bank(
                 with_color=True,
                 origin=(ox, oy),
             )
-            feats = extract_template(color * 255.0, depth, dual_modality=dual)
-            return feats, depth
 
         return jax.vmap(one)(rots, trans)
+
+    @jax.jit
+    def extract_batch(colors, depths):
+        return jax.vmap(
+            lambda c, d: extract_template(c, d, dual_modality=dual)
+        )(colors, depths)
+
+    def render_and_extract(rots, trans):
+        depths, colors = render_batch(rots, trans)
+        return extract_batch(colors * 255.0, depths), depths
 
     # The reference's in-plane pose angle is the negated warp angle
     # (src/HighLevelLinemod.cpp:105); enumerate the same set.

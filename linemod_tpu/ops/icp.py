@@ -152,11 +152,15 @@ class IcpRefiner:
             cx=self.cam.width / 2.0,
             cy=self.cam.height / 2.0,
         )
+        # pad the pose batch to a fixed size so the jitted ICP compiles once
+        n = len(poses)
+        pad_to = max(4, 1 << (n - 1).bit_length())
+        padded = poses + [poses[-1]] * (pad_to - n)
         rots = jnp.asarray(
-            np.stack([quat_to_mat(p.quaternion) for p in poses]).astype(np.float32)
+            np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)
         )
         trans = jnp.asarray(
-            np.stack([p.translation for p in poses]).astype(np.float32)
+            np.stack([p.translation for p in padded]).astype(np.float32)
         )
         r, t, _ = icp_refine_batch(
             self.model_pts, spts, snrm, svalid, rots, trans, model_nrm=self.model_nrm

@@ -101,17 +101,21 @@ def color_check_batch(
         win = jax.lax.dynamic_slice(
             pad, (xy[1], xy[0]), (CHECK_WINDOW, CHECK_WINDOW)
         )
-        # point-in-convex-polygon: all edge cross products >= 0 (CCW hull)
+        # point-in-convex-polygon: all edge cross products >= 0 (CCW hull),
+        # folded over edges so only one [W, W] plane is live at a time
         v0 = hull  # [HV, 2]
         v1 = jnp.roll(hull, -1, axis=0)
         e = v1 - v0  # [HV, 2]
-        # cross(e, p - v0) per pixel
-        px = xx[None] - v0[:, 0, None, None]
-        py = yy[None] - v0[:, 1, None, None]
-        cross = e[:, 0, None, None] * py - e[:, 1, None, None] * px
-        degenerate = jnp.all(e == 0, axis=1)  # padded repeat-vertices
-        inside = jnp.all(
-            jnp.where(degenerate[:, None, None], True, cross >= 0.0), axis=0
+
+        def edge(i, inside):
+            ex = e[i, 0]
+            ey = e[i, 1]
+            cross = ex * (yy - v0[i, 1]) - ey * (xx - v0[i, 0])
+            degenerate = (ex == 0.0) & (ey == 0.0)  # padded repeat-vertices
+            return inside & (degenerate | (cross >= 0.0))
+
+        inside = jax.lax.fori_loop(
+            0, hull.shape[0], edge, jnp.ones((CHECK_WINDOW, CHECK_WINDOW), bool)
         )
         denom = jnp.sum(inside)
         num = jnp.sum(inside & win)
@@ -136,14 +140,23 @@ def depth_p20_batch(
         yy = jnp.arange(CHECK_WINDOW, dtype=jnp.int32)[:, None]
         xx = jnp.arange(CHECK_WINDOW, dtype=jnp.int32)[None, :]
         in_bb = (yy < wh[1]) & (xx < wh[0])
-        vals = jnp.where(win > 0, win, BG_DEPTH)
-        bins = jnp.clip(vals, 0, DEPTH_BINS - 1).astype(jnp.int32)
-        hist = jnp.zeros((DEPTH_BINS,), jnp.int32).at[bins.reshape(-1)].add(
-            in_bb.reshape(-1).astype(jnp.int32)
-        )
+        vals = jnp.clip(jnp.where(win > 0, win, BG_DEPTH), 0, DEPTH_BINS - 1)
+        vals = jnp.where(in_bb, vals, jnp.float32(DEPTH_BINS))  # excluded sorts last
         k = (wh[0] * wh[1]) // 5
-        cum = jnp.cumsum(hist)
-        return jnp.argmax(cum > k).astype(jnp.float32)
+
+        # Two-level threshold-count percentile (64 coarse + 64 fine masked
+        # sums; scatter-free, exact to 1 mm). count_less(e) = #values < e.
+        def count_less(e):
+            return jnp.sum(vals < e)
+
+        coarse_edges = jnp.arange(1, 65, dtype=jnp.float32) * 64.0  # 64 .. 4096
+        cnt_c = jax.vmap(count_less)(coarse_edges)  # [64] cumulative
+        b = jnp.argmax(cnt_c > k)  # first coarse bin whose cum exceeds k
+        base = b.astype(jnp.float32) * 64.0
+        fine_edges = base + jnp.arange(1, 65, dtype=jnp.float32)
+        cnt_f = jax.vmap(count_less)(fine_edges)
+        v = jnp.argmax(cnt_f > k).astype(jnp.float32) + base
+        return v
 
     return jax.vmap(one)(match_xy.astype(jnp.int32), bbox_wh.astype(jnp.int32))
 

@@ -32,15 +32,27 @@ MAX_F = 64
 
 def _coarse_kernel(off_ref, planes_ref, out_ref):
     """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
-    stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32."""
+    stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
+
+    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so the
+    row shift sy is split into an aligned base load of TILE_H+8 rows plus an
+    8-way select over static sub-slices for the residual.
+    """
     n_feat = off_ref.shape[1]
 
     def body(f, acc):
         p = off_ref[0, f, 0]
         sy = off_ref[0, f, 1]
         sx = off_ref[0, f, 2]
-        tile = planes_ref[p, pl.ds(sy, TILE_H), pl.ds(sx, TILE_W)]
-        return acc + tile.astype(jnp.int32)
+        sy_base = pl.multiple_of((sy // 8) * 8, 8)
+        big = planes_ref[
+            p, pl.ds(sy_base, TILE_H + 8), pl.ds(sx, TILE_W)
+        ].astype(jnp.int32)
+        r = sy % 8
+        tile = big[0:TILE_H]
+        for k in range(1, 8):
+            tile = jnp.where(r == k, big[k : k + TILE_H], tile)
+        return acc + tile
 
     acc = jax.lax.fori_loop(
         0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32)

@@ -79,7 +79,7 @@ def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
     grid width plus max shift plus a full 128-lane tile.
     """
     ch, cw = h // t, w // t
-    rows = max(ch, 32) + max_cells
+    rows = max(ch, 32) + max_cells + 8  # +8: kernel loads an aligned base tile
     stride = int(np.ceil((cw + max_cells + 128) / 128.0)) * 128
     return ch, cw, rows, stride
 

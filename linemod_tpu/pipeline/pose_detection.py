@@ -13,11 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
-from ..ops.matching import MatchConfig, MatchState, build_match_state, match_templates
+from ..ops.detect_core import detect_frame, make_check_state
+from ..ops.matching import MatchConfig, MatchState, build_match_state
 from ..ops.postprocess import (
-    bgr_to_hsv_inrange,
-    color_check_batch,
-    depth_p20_batch,
     discard_small_groups,
     group_matches,
     reconstruct_pose,
@@ -64,9 +62,9 @@ class PoseDetection:
             dual_modality=bank.dual_modality,
             template_chunk=min(256, _pad_chunk(bank.num_templates)),
         )
-        self.state = build_match_state(_pad_bank(bank, cfg.template_chunk), cfg)
-        self.lower = jnp.asarray(np.asarray(props.lower_color_range, np.float32))
-        self.upper = jnp.asarray(np.asarray(props.upper_color_range, np.float32))
+        padded = _pad_bank(bank, cfg.template_chunk)
+        self.state = build_match_state(padded, cfg)
+        self.check = make_check_state(padded, props)
 
     # ------------------------------------------------------------------
     def recenter(self, img: np.ndarray) -> np.ndarray:
@@ -97,18 +95,32 @@ class PoseDetection:
 
         color: [H, W, 3] uint8 BGR; depth: [H, W] uint16/float mm.
         Returns a list of ObjectPose (CV camera frame, mm).
+
+        The device does all per-frame array work in ONE jitted program
+        (ops/detect_core.py) and the host reads back ONE packed array —
+        device->host fetches are the latency bottleneck on remote TPU
+        transports. Grouping, gating and pose math are host-side numpy.
         """
         color_c = self.recenter(np.ascontiguousarray(color))
         depth_c = self.recenter(np.ascontiguousarray(depth)).astype(np.float32)
-        colorf = jnp.asarray(color_c, jnp.float32)
-        depthf = jnp.asarray(depth_c)
 
-        m = match_templates(self.state, colorf, depthf)
-        valid = np.asarray(m["valid"])
-        tid = np.asarray(m["template_id"])[valid]
-        xs = np.asarray(m["x"])[valid]
-        ys = np.asarray(m["y"])[valid]
-        sims = np.asarray(m["similarity"])[valid]
+        packed = np.asarray(
+            detect_frame(
+                self.state,
+                self.check,
+                jnp.asarray(color_c.astype(np.uint8)),
+                jnp.asarray(depth_c),
+            )
+        )
+        tid_all = packed[:, 0].astype(np.int64)
+        valid = packed[:, 4] > 0.5
+        has_checks = packed[:, 5] >= 0.0
+        keep = valid & has_checks
+        tid = tid_all[keep]
+        xs = packed[keep, 1]
+        ys = packed[keep, 2]
+        color_pct = packed[keep, 5]
+        scene_p20 = packed[keep, 6]
         if debug is not None:
             debug.num_raw_matches = int(valid.sum())
         if len(tid) == 0:
@@ -123,27 +135,14 @@ class PoseDetection:
         if not groups:
             return []
 
-        inrange = bgr_to_hsv_inrange(colorf, self.lower, self.upper)
-
         poses: list[ObjectPose] = []
         grouped_pose_sets = []  # per group, candidate poses (for ICP's joint refine)
         for g in groups:
             g = np.asarray(g)
-            gt = tid[g]
-            gxy = np.stack([xs[g], ys[g]], axis=1)
-            hulls = jnp.asarray(self.bank.hull[gt])
-            color_pct = np.asarray(
-                color_check_batch(inrange, hulls, jnp.asarray(gxy))
-            )
-            bbox_wh = self.bank.bbox[gt][:, 2:4]
-            scene_p20 = np.asarray(
-                depth_p20_batch(depthf, jnp.asarray(gxy), jnp.asarray(bbox_wh))
-            )
-
             group_poses = []
-            for j in range(len(g)):
+            for j in g:
                 ok_color = color_pct[j] > self.settings.percent_to_pass_check
-                t = int(gt[j])
+                t = int(tid[j])
                 if self.settings.use_depth_improvement:
                     depth_diff = (
                         float(scene_p20[j])
@@ -161,8 +160,8 @@ class PoseDetection:
                     )
                 if ok_color and ok_depth:
                     pose = reconstruct_pose(
-                        float(gxy[j, 0]),
-                        float(gxy[j, 1]),
+                        float(xs[j]),
+                        float(ys[j]),
                         self.bank.bbox[t],
                         self.bank.quat[t],
                         direct_depth,
