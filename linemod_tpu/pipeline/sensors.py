@@ -61,13 +61,31 @@ class ArraySource(FrameSource):
 class Kinect2Source(FrameSource):
     """Kinect v2 via libfreenect2 (capability parity with src/Kinect2.cpp:3-61).
 
-    Semantics to match when hardware is present: depth registered onto the
-    RGB frame, float mm -> uint16, center-crop 1920x1080 -> 640x480, BGRA->BGR,
-    horizontal flip (src/Kinect2.cpp:50-60)."""
+    The frame math — depth->color registration, float mm -> uint16, the
+    1920x1080 -> 640x480 center crop, BGRA->BGR and horizontal flip
+    (src/Kinect2.cpp:41-61) — is implemented and tested in
+    ops/registration.py; only the USB device entry is hardware-gated. A raw
+    recording (bgra [1080,1920,4] + big-depth [1082,1920] pairs) can be
+    replayed through `from_raw_frames` without any hardware."""
 
     def __init__(self):
-        raise RuntimeError(
-            "Kinect2 capture requires libfreenect2 and USB hardware, neither of "
-            "which is available in this environment. Use FileSequenceSource to "
-            "replay recorded frames."
+        try:
+            import freenect2  # noqa: F401  (no binding shipped in this image)
+        except ImportError as e:
+            raise RuntimeError(
+                "Kinect2 live capture requires libfreenect2 python bindings and "
+                "USB hardware, neither of which is available in this "
+                "environment. Use Kinect2Source.from_raw_frames to replay raw "
+                "recordings, or FileSequenceSource for processed sequences."
+            ) from e
+
+    @staticmethod
+    def from_raw_frames(raw_pairs):
+        """Replay raw (bgra, bigdepth) recordings through the reference's
+        frame transform (registration assumed already applied, as
+        libfreenect2's Registration::apply does on-device)."""
+        from ..ops.registration import kinect_frame_transform
+
+        return ArraySource(
+            [kinect_frame_transform(bgra, big) for bgra, big in raw_pairs]
         )
