@@ -37,17 +37,29 @@ def _gaussian_kernel_1d(ksize: int = 7) -> np.ndarray:
 
 
 def _sep_conv2d(img: jax.Array, kx: np.ndarray, ky: np.ndarray) -> jax.Array:
-    """Separable 2-D convolution with replicate padding on [H, W, C] images."""
-    h, w, c = img.shape
+    """Separable 2-D convolution with replicate padding on [H, W, C] images.
+
+    Expressed as shift-and-add (static slices of a padded array) rather than
+    lax.conv: TPU convolutions on 1..8-channel images spend their time on
+    channel padding + layout transforms, while shifted adds fuse into a few
+    VPU passes."""
+    h, w, _ = img.shape
     rx = len(kx) // 2
     ry = len(ky) // 2
     x = jnp.pad(img, ((ry, ry), (rx, rx), (0, 0)), mode="edge")
-    x = x.transpose(2, 0, 1)[:, None]  # [C, 1, H+2ry, W+2rx]
-    fx = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
-    fy = jnp.asarray(ky, jnp.float32).reshape(1, 1, -1, 1)
-    x = jax.lax.conv_general_dilated(x, fx, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, fy, (1, 1), "VALID")
-    return x[:, 0].transpose(1, 2, 0)
+    row = None
+    for i, k in enumerate(kx):
+        if k == 0.0:
+            continue
+        term = x[:, i : i + w] * jnp.float32(k)
+        row = term if row is None else row + term
+    out = None
+    for j, k in enumerate(ky):
+        if k == 0.0:
+            continue
+        term = row[j : j + h] * jnp.float32(k)
+        out = term if out is None else out + term
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("weak", "strong"))
@@ -68,11 +80,18 @@ def quantize_color_gradients(
     dx = _sep_conv2d(sm, np.array([-1, 0, 1], np.float32), np.array([1, 2, 1], np.float32))
     dy = _sep_conv2d(sm, np.array([1, 2, 1], np.float32), np.array([-1, 0, 1], np.float32))
     mag2 = dx * dx + dy * dy  # [H, W, 3]
-    chan = jnp.argmax(mag2, axis=-1)
-    take = functools.partial(jnp.take_along_axis, indices=chan[..., None], axis=-1)
-    best_dx = take(dx)[..., 0]
-    best_dy = take(dy)[..., 0]
-    best_mag2 = take(mag2)[..., 0]
+    # strongest channel via selects (axis-3 gathers lower poorly on TPU)
+    m0, m1, m2 = mag2[..., 0], mag2[..., 1], mag2[..., 2]
+    pick1 = m1 > m0  # argmax tie-breaking: first max wins, so strict compares
+    m01 = jnp.where(pick1, m1, m0)
+    pick2 = m2 > m01
+
+    def sel(a):
+        return jnp.where(pick2, a[..., 2], jnp.where(pick1, a[..., 1], a[..., 0]))
+
+    best_dx = sel(dx)
+    best_dy = sel(dy)
+    best_mag2 = jnp.where(pick2, m2, m01)
 
     # Orientation folded to 180 deg, 8 bins: round(angle * 16 / 2pi) & 7.
     angle = jnp.arctan2(best_dy, best_dx)  # [-pi, pi]

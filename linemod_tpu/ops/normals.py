@@ -71,16 +71,16 @@ def quantize_normals(
     angle = jnp.arctan2(gy, gx)
     bin8 = jnp.round(angle * (8.0 / (2.0 * np.pi))).astype(jnp.int32) & 7
 
+    # 3x3 box vote as shift-and-add (lax.conv on 8-channel images wastes its
+    # time on channel padding / layout transforms on TPU)
+    h, w = bin8.shape
     onehot = jax.nn.one_hot(bin8, 8, dtype=jnp.float32)
-    ones3 = np.ones((3,), np.float32)
-    votes = jax.lax.conv_general_dilated(
-        jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)), mode="edge").transpose(2, 0, 1)[
-            :, None
-        ],
-        jnp.ones((1, 1, 3, 3), jnp.float32),
-        (1, 1),
-        "VALID",
-    )[:, 0].transpose(1, 2, 0)
+    pad = jnp.pad(onehot, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    votes = None
+    for dy in range(3):
+        for dx in range(3):
+            term = pad[dy : dy + h, dx : dx + w]
+            votes = term if votes is None else votes + term
     winner = jnp.argmax(votes, axis=-1)
     count = jnp.max(votes, axis=-1)
     keep = (count >= 5) & ok & (mag2 > min_slope * min_slope)

@@ -84,22 +84,26 @@ def bgr_to_hsv_inrange(img: jax.Array, lower: jax.Array, upper: jax.Array):
     return jnp.all((hsv >= lower) & (hsv <= upper), axis=-1)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def color_check_batch(
     inrange: jax.Array,  # [H, W] bool, precomputed HSV in-range mask
     hulls: jax.Array,  # [K, HV, 2] f32 hull vertices, bbox-relative CCW
     match_xy: jax.Array,  # [K, 2] int32 match positions (bbox top-left)
+    window: int = CHECK_WINDOW,
 ):
-    """Percentage of hull-interior pixels that are HSV-in-range, per candidate."""
-    h, w = inrange.shape
-    pad = jnp.pad(inrange, ((0, CHECK_WINDOW), (0, CHECK_WINDOW)))
+    """Percentage of hull-interior pixels that are HSV-in-range, per candidate.
 
-    yy = jnp.arange(CHECK_WINDOW, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(CHECK_WINDOW, dtype=jnp.float32)[None, :]
+    `window` is a static crop size; it must cover the largest template bbox
+    (detect_core derives it from the bank at build time)."""
+    h, w = inrange.shape
+    pad = jnp.pad(inrange, ((0, window), (0, window)))
+
+    yy = jnp.arange(window, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(window, dtype=jnp.float32)[None, :]
 
     def one(hull, xy):
         win = jax.lax.dynamic_slice(
-            pad, (xy[1], xy[0]), (CHECK_WINDOW, CHECK_WINDOW)
+            pad, (xy[1], xy[0]), (window, window)
         )
         # point-in-convex-polygon: all edge cross products >= 0 (CCW hull),
         # folded over edges so only one [W, W] plane is live at a time
@@ -115,7 +119,7 @@ def color_check_batch(
             return inside & (degenerate | (cross >= 0.0))
 
         inside = jax.lax.fori_loop(
-            0, hull.shape[0], edge, jnp.ones((CHECK_WINDOW, CHECK_WINDOW), bool)
+            0, hull.shape[0], edge, jnp.ones((window, window), bool)
         )
         denom = jnp.sum(inside)
         num = jnp.sum(inside & win)
@@ -124,21 +128,22 @@ def color_check_batch(
     return jax.vmap(one)(hulls, match_xy.astype(jnp.int32))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("window",))
 def depth_p20_batch(
     depth: jax.Array,  # [H, W] f32 mm
     match_xy: jax.Array,  # [K, 2] int32
     bbox_wh: jax.Array,  # [K, 2] int32 template bbox size
+    window: int = CHECK_WINDOW,
 ):
     """~p20 of scene depth over each candidate's bbox, background as 65535
     (medianMat semantics, src/HighLevelLinemod.cpp:336-349; exact 20th
     percentile via a 1 mm histogram)."""
-    pad = jnp.pad(depth, ((0, CHECK_WINDOW), (0, CHECK_WINDOW)))
+    pad = jnp.pad(depth, ((0, window), (0, window)))
 
     def one(xy, wh):
-        win = jax.lax.dynamic_slice(pad, (xy[1], xy[0]), (CHECK_WINDOW, CHECK_WINDOW))
-        yy = jnp.arange(CHECK_WINDOW, dtype=jnp.int32)[:, None]
-        xx = jnp.arange(CHECK_WINDOW, dtype=jnp.int32)[None, :]
+        win = jax.lax.dynamic_slice(pad, (xy[1], xy[0]), (window, window))
+        yy = jnp.arange(window, dtype=jnp.int32)[:, None]
+        xx = jnp.arange(window, dtype=jnp.int32)[None, :]
         in_bb = (yy < wh[1]) & (xx < wh[0])
         vals = jnp.clip(jnp.where(win > 0, win, BG_DEPTH), 0, DEPTH_BINS - 1)
         vals = jnp.where(in_bb, vals, jnp.float32(DEPTH_BINS))  # excluded sorts last

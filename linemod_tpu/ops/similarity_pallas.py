@@ -34,25 +34,24 @@ def _coarse_kernel(off_ref, planes_ref, out_ref):
     """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
     stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
 
-    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so the
-    row shift sy is split into an aligned base load of TILE_H+8 rows plus an
-    8-way select over static sub-slices for the residual.
+    Mosaic requires dynamically-offset vector loads to be tile-aligned
+    (sublane multiples of 8, lane multiples of 128), so the feature shift
+    (sy, sx) is realized as a static full-plane load followed by dynamic
+    rotations (tpu.dynamic_rotate) on both minor axes; the aligned top-left
+    (TILE_H, TILE_W) corner of the rotated plane is then plane[sy:, sx:].
     """
     n_feat = off_ref.shape[1]
+    rows = planes_ref.shape[1]
+    stride = planes_ref.shape[2]
 
     def body(f, acc):
         p = off_ref[0, f, 0]
         sy = off_ref[0, f, 1]
         sx = off_ref[0, f, 2]
-        sy_base = pl.multiple_of((sy // 8) * 8, 8)
-        big = planes_ref[
-            p, pl.ds(sy_base, TILE_H + 8), pl.ds(sx, TILE_W)
-        ].astype(jnp.int32)
-        r = sy % 8
-        tile = big[0:TILE_H]
-        for k in range(1, 8):
-            tile = jnp.where(r == k, big[k : k + TILE_H], tile)
-        return acc + tile
+        plane = planes_ref[p].astype(jnp.int32)  # rotate needs 32-bit data
+        plane = pltpu.roll(plane, rows - sy, axis=0)
+        plane = pltpu.roll(plane, stride - sx, axis=1)
+        return acc + plane[0:TILE_H, 0:TILE_W]
 
     acc = jax.lax.fori_loop(
         0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32)

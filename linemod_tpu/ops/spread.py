@@ -73,13 +73,14 @@ def response_maps(spread: jax.Array) -> jax.Array:
 def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
     """Padded grid-plane shape for `linearize`: (cells_h + max_cells, row_stride).
 
-    Padding guarantees that the Pallas scan kernel's (sublane x 128-lane)
-    dynamic slices stay in bounds for any within-bank shift: rows cover at
-    least one 32-row tile plus the max shift, and the row stride covers the
-    grid width plus max shift plus a full 128-lane tile.
+    Padding guarantees the Pallas scan kernel's full-plane loads + dynamic
+    rotations stay exact: rows cover at least one 32-row output tile plus the
+    max within-bank shift and are 32-aligned (Mosaic's dynamic_rotate needs a
+    tile-aligned sublane extent); the row stride covers the grid width plus
+    max shift plus a full 128-lane tile.
     """
     ch, cw = h // t, w // t
-    rows = max(ch, 32) + max_cells + 8  # +8: kernel loads an aligned base tile
+    rows = int(np.ceil((max(ch, 32) + max_cells) / 32.0)) * 32
     stride = int(np.ceil((cw + max_cells + 128) / 128.0)) * 128
     return ch, cw, rows, stride
 

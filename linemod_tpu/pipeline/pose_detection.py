@@ -53,14 +53,25 @@ class PoseDetection:
         self.props = props
         self.mesh = mesh
         self.icp = icp  # optional IcpRefiner (pipeline wiring in detect())
+        t_coarse = 8
+        # VMEM-resident Pallas coarse scan: TPU backend, grid within one
+        # (32 x 128) tile (640x480 at T=8 is 30 x 40)
+        import jax
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and (cam.height // 2) // t_coarse <= 32
+            and (cam.width // 2) // t_coarse <= 128
+        )
         cfg = MatchConfig(
             width=cam.width,
             height=cam.height,
             t_fine=5 if bank.dual_modality else 2,
-            t_coarse=8,
+            t_coarse=t_coarse,
             threshold=settings.detector_threshold,
             dual_modality=bank.dual_modality,
             template_chunk=min(256, _pad_chunk(bank.num_templates)),
+            use_pallas=use_pallas,
         )
         padded = _pad_bank(bank, cfg.template_chunk)
         self.state = build_match_state(padded, cfg)
