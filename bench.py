@@ -64,10 +64,11 @@ def run_pipeline(report_accuracy: bool):
             scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
             vsd = bench.score_vsd(scene, gt, poses[0])
 
+    # production serving shape: frames stream in, one frame always in flight
+    # (detect_stream), so each frame costs device time, not round-trip time
     t0 = time.time()
-    for _ in range(FRAMES):
-        det.detect(color, depth, 1)
-    dt = (time.time() - t0) / FRAMES
+    n_done = sum(1 for _ in det.detect_stream((color, depth) for _ in range(FRAMES)))
+    dt = (time.time() - t0) / n_done
     return 1.0 / dt, vsd, len(poses)
 
 

@@ -52,12 +52,17 @@ class MatchConfig:
     dual_modality: bool = False
     template_chunk: int = 256
     use_pallas: bool = False  # VMEM-resident Pallas coarse scan (TPU only)
+    # TPU-optimized approximate top-k for the coarse candidate cut
+    # (recall 0.99 of the true top-K; misses land in the low-similarity tail,
+    # far below the detector threshold). Both scan paths honor it, so the
+    # Pallas/gather parity is unaffected.
+    approx_topk: bool = True
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
-                 "off3_coarse"],
+                 "off3_coarse", "off3_fine"],
     meta_fields=["cfg", "n_templates", "fine_shape", "coarse_shape",
                  "max_cells_fine", "max_cells_coarse"],
 )
@@ -74,6 +79,7 @@ class MatchState:
     nf_coarse: jax.Array
     lim_coarse: jax.Array  # [N, 2] int32 (gy_lim, gx_lim) valid cell bounds
     off3_coarse: jax.Array  # [N, F, 3] int32 (plane, sy, sx) for the Pallas path
+    off3_fine: jax.Array  # [N, F, 3] int32 fine-level triplets (Pallas fine refine)
     fine_shape: tuple  # (ch, cw, rows, stride)
     coarse_shape: tuple
     max_cells_fine: int
@@ -137,7 +143,7 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
     gy_lim = ch - np.ceil(bh / 2 / cfg.t_coarse).astype(np.int64)
     gx_lim = cw - np.ceil(bw / 2 / cfg.t_coarse).astype(np.int64)
 
-    # (plane, sy, sx) triplet form of the coarse offsets for the Pallas kernel
+    # (plane, sy, sx) triplet form of the offsets for the Pallas kernels
     from .similarity_pallas import feature_plane_triplets
 
     trips = [feature_plane_triplets(bank.feat1, bank.valid1, cfg.t_coarse, n_mods * n_planes_c)]
@@ -150,6 +156,9 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
         )
         trips.append(tn)
     off3 = np.concatenate(trips, axis=1)
+    # fine-level triplets (color modality only — the Pallas fine kernel is
+    # used only in color-only mode, where the planes fit VMEM and SCALE == 8)
+    off3_f = feature_plane_triplets(bank.feat0, bank.valid0, cfg.t_fine, n_mods * n_planes_f)
 
     return MatchState(
         cfg=cfg,
@@ -162,6 +171,7 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
             np.stack([gy_lim, gx_lim], axis=1).astype(np.int32)
         ),
         off3_coarse=jnp.asarray(off3),
+        off3_fine=jnp.asarray(off3_f),
         fine_shape=fine,
         coarse_shape=coarse,
         max_cells_fine=mc_fine,
@@ -228,9 +238,11 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
     ).reshape(-1)  # [G]
 
     if cfg.use_pallas:
-        from .similarity_pallas import TILE_H, TILE_W, coarse_scores_pallas
+        from .similarity_pallas import coarse_scores_pallas
 
-        tiles = coarse_scores_pallas(coarse_planes, state.off3_coarse)
+        tiles = coarse_scores_pallas(
+            coarse_planes, state.off3_coarse, state.max_cells_coarse
+        )
         scores = tiles[:, :ch, :cw].reshape(-1, ch * cw)
     else:
 
@@ -257,7 +269,12 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
 
     # --- static top-K candidates ----------------------------------------
     flat_sim = sim_c.reshape(-1)
-    top_sim, top_idx = jax.lax.top_k(flat_sim, cfg.top_k)
+    if cfg.approx_topk:
+        top_sim, top_idx = jax.lax.approx_max_k(
+            flat_sim, cfg.top_k, recall_target=0.99, aggregate_to_topk=True
+        )
+    else:
+        top_sim, top_idx = jax.lax.top_k(flat_sim, cfg.top_k)
     cand_t = (top_idx // grid.shape[0]).astype(jnp.int32)
     cand_g = (top_idx % grid.shape[0]).astype(jnp.int32)
     cand_gy = cand_g // cw
@@ -265,15 +282,24 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
 
     # --- fine: refine each candidate over the 8x8 sub-cell window --------
     scale = (2 * cfg.t_coarse) // cfg.t_fine  # sub-cells per coarse cell
-    sub = (
-        jnp.arange(scale, dtype=jnp.int32)[:, None] * stride_f
-        + jnp.arange(scale, dtype=jnp.int32)[None, :]
-    ).reshape(-1)  # [scale^2]
-    base = (cand_gy * scale) * stride_f + cand_gx * scale  # [K]
-    pos = base[:, None] + sub[None, :]  # [K, S]
-    offs = state.off_fine[cand_t]  # [K, F]
-    idx = offs[:, :, None] + pos[:, None, :]
-    fine_scores = fine_flat[idx].astype(jnp.int32).sum(axis=1)  # [K, S]
+    if cfg.use_pallas and not cfg.dual_modality and scale == 8:
+        from .similarity_pallas import fine_scores_pallas
+
+        base_yx = jnp.stack([cand_gy * scale, cand_gx * scale], axis=1)
+        tiles_f = fine_scores_pallas(
+            fine_planes, state.off3_fine, cand_t, base_yx
+        )
+        fine_scores = tiles_f[:, :scale, :scale].reshape(-1, scale * scale)
+    else:
+        sub = (
+            jnp.arange(scale, dtype=jnp.int32)[:, None] * stride_f
+            + jnp.arange(scale, dtype=jnp.int32)[None, :]
+        ).reshape(-1)  # [scale^2]
+        base = (cand_gy * scale) * stride_f + cand_gx * scale  # [K]
+        pos = base[:, None] + sub[None, :]  # [K, S]
+        offs = state.off_fine[cand_t]  # [K, F]
+        idx = offs[:, :, None] + pos[:, None, :]
+        fine_scores = fine_flat[idx].astype(jnp.int32).sum(axis=1)  # [K, S]
     best = jnp.argmax(fine_scores, axis=1)
     best_raw = jnp.take_along_axis(fine_scores, best[:, None], axis=1)[:, 0]
     sim = (

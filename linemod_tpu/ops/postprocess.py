@@ -7,32 +7,30 @@ Reproduces HighLevelLineMOD's detect-time chain (src/HighLevelLinemod.cpp):
 - `discard_small_groups`: drop groups whose integer percentage of the biggest
   group is <= discard ratio (discardSmallMatchGroups :232-253, including the
   C++ integer division);
-- `color_check`: fraction of pixels inside the template's feature convex hull
-  whose HSV falls in the model's range (colorCheck :424-434, templateMask
-  :113-135) — evaluated as a batched half-plane rasterization in JAX;
-- `depth_check`: scene-vs-template ~p20 depth gate with the shiny-object
-  z-correction (depthCheck :437-457);
+- `color_check_host`: fraction of pixels inside the template's feature convex
+  hull whose HSV falls in the model's range (colorCheck :424-434,
+  templateMask :113-135);
+- `depth_p20_host`: scene-vs-template ~p20 depth gate input, with the
+  shiny-object z-correction applied by the caller (depthCheck :437-457);
 - `reconstruct_pose`: pixel->metric translation with the reference's
   calcTrueZ quirk (mm^2 minus px^2, :512-515) and view-ray rotation
   adjustment (calcRotation :488-495).
 
-Grouping and the final per-group scalar math run on host (tiny); the image
-checks are jitted and batched over candidates.
+Everything here runs host-side in numpy: grouping is tiny, and the image
+checks are evaluated lazily per grouped candidate (the reference's own
+post-grouping order), touching only each candidate's bbox window. Keeping
+the checks off the device keeps the per-frame device program match-only, so
+the depth image never has to cross the host->device link in color-only mode
+— on remote-TPU transports the link is the frame-rate ceiling.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..types import ObjectPose
 from ..utils.geometry import mat_to_quat, quat_to_mat, view_ray_rotation
 
-CHECK_WINDOW = 384  # static crop around a candidate for the image checks
-DEPTH_BINS = 4096  # 1 mm histogram bins for the percentile gate
 BG_DEPTH = 65535.0
 
 
@@ -62,108 +60,84 @@ def discard_small_groups(groups, ratio: float):
     return [g for g in groups if (len(g) * 100 // biggest) > ratio]
 
 
-@jax.jit
-def bgr_to_hsv_inrange(img: jax.Array, lower: jax.Array, upper: jax.Array):
-    """OpenCV-convention BGR->HSV (H in 0..180) + inRange mask.
+def bgr_to_hsv_inrange_np(img: np.ndarray, lower, upper) -> np.ndarray:
+    """OpenCV-convention BGR->HSV (H in 0..180) + inRange mask (numpy).
 
-    img: [H, W, 3] f32 0..255 BGR. lower/upper: [3] (H, S, V).
+    img: [.., 3] BGR 0..255. lower/upper: [3] (H, S, V). The checks run
+    host-side, lazily per grouped candidate (exactly the reference's
+    post-grouping order, src/HighLevelLinemod.cpp:382-421): this keeps the
+    per-frame device program match-only, so depth never has to cross the
+    host->device link in color-only mode.
     """
+    img = img.astype(np.float32)
     b, g, r = img[..., 0], img[..., 1], img[..., 2]
-    v = jnp.maximum(jnp.maximum(b, g), r)
-    mn = jnp.minimum(jnp.minimum(b, g), r)
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
     diff = v - mn
-    s = jnp.where(v > 0, diff * 255.0 / jnp.maximum(v, 1e-6), 0.0)
-    safe = jnp.maximum(diff, 1e-6)
-    h = jnp.where(
+    s = np.where(v > 0, diff * 255.0 / np.maximum(v, 1e-6), 0.0)
+    safe = np.maximum(diff, 1e-6)
+    h = np.where(
         v == r,
         60.0 * (g - b) / safe,
-        jnp.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
+        np.where(v == g, 120.0 + 60.0 * (b - r) / safe, 240.0 + 60.0 * (r - g) / safe),
     )
-    h = jnp.where(h < 0, h + 360.0, h) * 0.5  # OpenCV: H/2 for uint8
-    hsv = jnp.stack([h, s, v], axis=-1)
-    return jnp.all((hsv >= lower) & (hsv <= upper), axis=-1)
+    h = np.where(h < 0, h + 360.0, h) * 0.5  # OpenCV: H/2 for uint8
+    lower = np.asarray(lower, np.float32)
+    upper = np.asarray(upper, np.float32)
+    hsv = np.stack([h, s, v], axis=-1)
+    return np.all((hsv >= lower) & (hsv <= upper), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def color_check_batch(
-    inrange: jax.Array,  # [H, W] bool, precomputed HSV in-range mask
-    hulls: jax.Array,  # [K, HV, 2] f32 hull vertices, bbox-relative CCW
-    match_xy: jax.Array,  # [K, 2] int32 match positions (bbox top-left)
-    window: int = CHECK_WINDOW,
-):
-    """Percentage of hull-interior pixels that are HSV-in-range, per candidate.
-
-    `window` is a static crop size; it must cover the largest template bbox
-    (detect_core derives it from the bank at build time)."""
-    h, w = inrange.shape
-    pad = jnp.pad(inrange, ((0, window), (0, window)))
-
-    yy = jnp.arange(window, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(window, dtype=jnp.float32)[None, :]
-
-    def one(hull, xy):
-        win = jax.lax.dynamic_slice(
-            pad, (xy[1], xy[0]), (window, window)
-        )
-        # point-in-convex-polygon: all edge cross products >= 0 (CCW hull),
-        # folded over edges so only one [W, W] plane is live at a time
-        v0 = hull  # [HV, 2]
-        v1 = jnp.roll(hull, -1, axis=0)
-        e = v1 - v0  # [HV, 2]
-
-        def edge(i, inside):
-            ex = e[i, 0]
-            ey = e[i, 1]
-            cross = ex * (yy - v0[i, 1]) - ey * (xx - v0[i, 0])
-            degenerate = (ex == 0.0) & (ey == 0.0)  # padded repeat-vertices
-            return inside & (degenerate | (cross >= 0.0))
-
-        inside = jax.lax.fori_loop(
-            0, hull.shape[0], edge, jnp.ones((window, window), bool)
-        )
-        denom = jnp.sum(inside)
-        num = jnp.sum(inside & win)
-        return num.astype(jnp.float32) * 100.0 / jnp.maximum(denom, 1).astype(jnp.float32)
-
-    return jax.vmap(one)(hulls, match_xy.astype(jnp.int32))
+def hull_mask(hull: np.ndarray, wh) -> np.ndarray:
+    """Rasterize a convex hull ([HV, 2] bbox-relative CCW, possibly padded by
+    repeated vertices) to a [h, w] bool mask (templateMask,
+    src/HighLevelLinemod.cpp:113-135). xy-independent — callers cache it per
+    template."""
+    w, h = int(wh[0]), int(wh[1])
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(w, dtype=np.float32)[None, :]
+    v0 = hull.astype(np.float32)
+    v1 = np.roll(v0, -1, axis=0)
+    e = v1 - v0
+    keep = ~((e[:, 0] == 0.0) & (e[:, 1] == 0.0))  # drop padded repeat-vertices
+    inside = np.ones((h, w), bool)
+    for ex, ey, vx, vy in zip(e[keep, 0], e[keep, 1], v0[keep, 0], v0[keep, 1]):
+        inside &= ex * (yy - vy) - ey * (xx - vx) >= 0.0
+    return inside
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def depth_p20_batch(
-    depth: jax.Array,  # [H, W] f32 mm
-    match_xy: jax.Array,  # [K, 2] int32
-    bbox_wh: jax.Array,  # [K, 2] int32 template bbox size
-    window: int = CHECK_WINDOW,
-):
-    """~p20 of scene depth over each candidate's bbox, background as 65535
-    (medianMat semantics, src/HighLevelLinemod.cpp:336-349; exact 20th
-    percentile via a 1 mm histogram)."""
-    pad = jnp.pad(depth, ((0, window), (0, window)))
+def color_check_host(
+    color: np.ndarray,  # [H, W, 3] BGR (recentred frame)
+    mask: np.ndarray,  # [h, w] bool hull-interior mask (hull_mask output)
+    xy,  # (x, y) match position (bbox top-left)
+    lower,
+    upper,
+) -> float:
+    """Percentage of hull-interior pixels that are HSV-in-range (colorCheck,
+    src/HighLevelLinemod.cpp:424-434)."""
+    x, y = int(xy[0]), int(xy[1])
+    h, w = mask.shape
+    win = color[y : y + h, x : x + w]
+    if win.size == 0:
+        return 0.0
+    mask = mask[: win.shape[0], : win.shape[1]]
+    denom = max(int(mask.sum()), 1)
+    inrange = bgr_to_hsv_inrange_np(win[mask], lower, upper)
+    return float(inrange.sum()) * 100.0 / denom
 
-    def one(xy, wh):
-        win = jax.lax.dynamic_slice(pad, (xy[1], xy[0]), (window, window))
-        yy = jnp.arange(window, dtype=jnp.int32)[:, None]
-        xx = jnp.arange(window, dtype=jnp.int32)[None, :]
-        in_bb = (yy < wh[1]) & (xx < wh[0])
-        vals = jnp.clip(jnp.where(win > 0, win, BG_DEPTH), 0, DEPTH_BINS - 1)
-        vals = jnp.where(in_bb, vals, jnp.float32(DEPTH_BINS))  # excluded sorts last
-        k = (wh[0] * wh[1]) // 5
 
-        # Two-level threshold-count percentile (64 coarse + 64 fine masked
-        # sums; scatter-free, exact to 1 mm). count_less(e) = #values < e.
-        def count_less(e):
-            return jnp.sum(vals < e)
-
-        coarse_edges = jnp.arange(1, 65, dtype=jnp.float32) * 64.0  # 64 .. 4096
-        cnt_c = jax.vmap(count_less)(coarse_edges)  # [64] cumulative
-        b = jnp.argmax(cnt_c > k)  # first coarse bin whose cum exceeds k
-        base = b.astype(jnp.float32) * 64.0
-        fine_edges = base + jnp.arange(1, 65, dtype=jnp.float32)
-        cnt_f = jax.vmap(count_less)(fine_edges)
-        v = jnp.argmax(cnt_f > k).astype(jnp.float32) + base
-        return v
-
-    return jax.vmap(one)(match_xy.astype(jnp.int32), bbox_wh.astype(jnp.int32))
+def depth_p20_host(depth: np.ndarray, xy, wh) -> float:
+    """~p20 of scene depth over the candidate's bbox, background as 65535
+    (medianMat semantics, src/HighLevelLinemod.cpp:336-349; same convention
+    as the bank's per-template median, models/template_bank.py)."""
+    x, y = int(xy[0]), int(xy[1])
+    w, h = int(wh[0]), int(wh[1])
+    win = depth[y : y + h, x : x + w]
+    if win.size == 0:
+        return BG_DEPTH
+    vals = np.where(win > 0, win, BG_DEPTH).astype(np.float32).ravel()
+    k = len(vals) // 5
+    return float(np.partition(vals, k)[k])
 
 
 def reconstruct_pose(

@@ -1,14 +1,23 @@
-"""Pallas TPU kernel for the coarse similarity scan.
+"""Pallas TPU kernels for the similarity scans (coarse + fine).
 
-Scores every template of the bank at every coarse grid cell in one kernel:
-the linearized response planes (a few MB, see ops/spread.py) stay resident in
-VMEM for the whole scan, each program accumulates one template's 64 features
-as (32 x 128) sublane/lane-tile dynamic slices of the plane stack, and the
-per-template feature table arrives through a blocked SMEM input. This is the
-TPU reshaping of the reference engine's "linearized memories" trick
+Coarse: scores every template of the bank at every coarse grid cell in one
+kernel — the linearized response planes (a few MB, see ops/spread.py) stay
+resident in VMEM for the whole scan, and each program accumulates one
+template's features as dynamically-rotated plane tiles. This is the TPU
+reshaping of the reference engine's "linearized memories" trick
 (cv::linemod's SIMD sliding window, used at src/HighLevelLinemod.cpp:152):
 the whole working set sits in on-chip memory, so the scan is VPU-bound, not
 HBM-bound.
+
+Fine: refines the top-K coarse candidates over the 8x8 sub-cell window each
+coarse cell covers. One program per candidate; the candidate's template id
+arrives via scalar prefetch and selects that template's feature table
+directly in the BlockSpec index map.
+
+Mosaic constraint that shapes both kernels: dynamically-offset vector loads
+must be tile-aligned (sublane multiple of 8, lane multiple of 128), so
+feature shifts are realized as aligned loads + dynamic rotations
+(tpu.dynamic_rotate, 32-bit only) with the residual shift.
 
 Covers grids up to 32 x 128 cells (640x480 at the T=8 coarse level is
 30 x 40); ops/matching.py falls back to the XLA gather path for larger grids
@@ -30,44 +39,52 @@ TILE_W = 128
 MAX_F = 64
 
 
-def _coarse_kernel(off_ref, planes_ref, out_ref):
-    """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
-    stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
+def _make_coarse_kernel(rows_used: int, lanes_used: int):
+    def _coarse_kernel(off_ref, planes_ref, out_ref):
+        """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
+        stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
 
-    Mosaic requires dynamically-offset vector loads to be tile-aligned
-    (sublane multiples of 8, lane multiples of 128), so the feature shift
-    (sy, sx) is realized as a static full-plane load followed by dynamic
-    rotations (tpu.dynamic_rotate) on both minor axes; the aligned top-left
-    (TILE_H, TILE_W) corner of the rotated plane is then plane[sy:, sx:].
-    """
-    n_feat = off_ref.shape[1]
-    rows = planes_ref.shape[1]
-    stride = planes_ref.shape[2]
+        Lane rotation may wrap when lanes_used < sx + TILE_W; the wrapped
+        values land in output lanes >= lanes_used - max_shift >= grid width
+        (linear_plane_shape invariant), which the caller crops away."""
+        n_feat = off_ref.shape[1]
 
-    def body(f, acc):
-        p = off_ref[0, f, 0]
-        sy = off_ref[0, f, 1]
-        sx = off_ref[0, f, 2]
-        plane = planes_ref[p].astype(jnp.int32)  # rotate needs 32-bit data
-        plane = pltpu.roll(plane, rows - sy, axis=0)
-        plane = pltpu.roll(plane, stride - sx, axis=1)
-        return acc + plane[0:TILE_H, 0:TILE_W]
+        def body(f, acc):
+            p = off_ref[0, f, 0]
+            sy = off_ref[0, f, 1]
+            sx = off_ref[0, f, 2]
+            # static row/lane crop (sy <= rows_used - TILE_H)
+            blk = planes_ref[p, 0:rows_used, 0:lanes_used].astype(jnp.int32)
+            blk = pltpu.roll(blk, rows_used - sy, axis=0)
+            blk = pltpu.roll(blk[0:TILE_H], lanes_used - sx, axis=1)
+            return acc + blk[:, 0:TILE_W]
 
-    acc = jax.lax.fori_loop(
-        0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32)
-    )
-    out_ref[0] = acc
+        acc = jax.lax.fori_loop(
+            0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
+            unroll=n_feat,  # Pallas lowering supports only full unroll or 1
+        )
+        out_ref[0] = acc
+
+    return _coarse_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def coarse_scores_pallas(planes: jax.Array, off3: jax.Array, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def coarse_scores_pallas(
+    planes: jax.Array, off3: jax.Array, max_shift: int, interpret: bool = False
+):
     """planes: [P(+1 zero), rows, stride] uint8 linearized response planes;
     off3: [N, F, 3] int32 per-feature (plane, sy, sx) with invalid
-    features pointing at the zero plane (F = 64, or 128 dual-modality).
+    features pointing at the zero plane (F = 64, or 128 dual-modality);
+    max_shift: static bound on sy/sx (= the state's max_cells at this level).
     Returns scores [N, TILE_H, TILE_W] int32 (crop to the real grid outside)."""
     n, mf, _ = off3.shape
+    rows, stride = planes.shape[1], planes.shape[2]
+    rows_used = min(rows, ((TILE_H + max_shift + 7) // 8) * 8)
+    lanes_used = min(stride, ((TILE_W + max_shift + 127) // 128) * 128)
+    if rows_used % 8 or (lanes_used < stride and max_shift > lanes_used - TILE_W):
+        raise ValueError(f"unsupported plane geometry {planes.shape}, {max_shift}")
     return pl.pallas_call(
-        _coarse_kernel,
+        _make_coarse_kernel(rows_used, lanes_used),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, mf, 3), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
@@ -76,7 +93,7 @@ def coarse_scores_pallas(planes: jax.Array, off3: jax.Array, interpret: bool = F
         out_specs=pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, TILE_H, TILE_W), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=n * mf * TILE_H * TILE_W,
+            flops=n * mf * 3 * rows_used * 256,
             bytes_accessed=planes.size + n * (mf * 12 + TILE_H * TILE_W * 4),
             transcendentals=0,
         ),
@@ -84,8 +101,91 @@ def coarse_scores_pallas(planes: jax.Array, off3: jax.Array, interpret: bool = F
     )(off3, planes)
 
 
+SCALE = 8  # fine sub-cells per coarse cell (2 * t_coarse / t_fine, color-only)
+
+
+def _fine_kernel(cand_t_ref, base_ref, off_ref, planes_ref, out_ref):
+    """One program per candidate: accumulate the candidate template's features
+    over the SCALE x SCALE sub-cell window at its coarse-cell origin.
+
+    cand_t_ref/base_ref: scalar-prefetched [K] template ids (used by the
+    off_ref index map) and [K, 2] fine-grid (base_y, base_x) origins;
+    off_ref: [1, F, 3] SMEM — the *candidate's template's* (plane, sy, sx);
+    planes_ref: [P, rows, stride] VMEM; out_ref: [1, 8, 128] int32 (lanes >=
+    SCALE are garbage; caller crops)."""
+    del cand_t_ref  # only used by the index maps
+    i = pl.program_id(0)
+    n_feat = off_ref.shape[1]
+    rows = planes_ref.shape[1]
+    stride = planes_ref.shape[2]
+    lanes = min(stride, 256)
+    by = base_ref[i, 0]
+    bx = base_ref[i, 1]
+
+    def body(f, acc):
+        p = off_ref[0, f, 0]
+        y = by + off_ref[0, f, 1]
+        x = bx + off_ref[0, f, 2]
+        # aligned 16-row x `lanes`-lane block, clamped in-bounds; residual via
+        # roll (lane wrap, when stride == lanes, stays >= stride - x > SCALE
+        # output lanes — see linear_plane_shape invariant)
+        yb = pl.multiple_of(jnp.minimum((y // 8) * 8, rows - 16), 8)
+        xb = pl.multiple_of(jnp.minimum((x // 128) * 128, stride - lanes), 128)
+        blk = planes_ref[p, pl.ds(yb, 16), pl.ds(xb, lanes)].astype(jnp.int32)
+        blk = pltpu.roll(blk, 16 - (y - yb), axis=0)
+        blk = pltpu.roll(blk[0:8], lanes - (x - xb), axis=1)
+        return acc + blk[:, 0:TILE_W]
+
+    acc = jax.lax.fori_loop(
+        0, n_feat, body, jnp.zeros((8, TILE_W), jnp.int32),
+        unroll=n_feat,  # Pallas lowering supports only full unroll or 1
+    )
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fine_scores_pallas(
+    planes: jax.Array,
+    off3: jax.Array,
+    cand_t: jax.Array,
+    base_yx: jax.Array,
+    interpret: bool = False,
+):
+    """planes: [P(+1), rows, stride] uint8 fine-level linearized planes;
+    off3: [N, F, 3] int32 per-template fine-level (plane, sy, sx);
+    cand_t: [K] int32 candidate template ids; base_yx: [K, 2] int32 fine-grid
+    (y, x) origin of each candidate's coarse cell.
+    Returns [K, 8, 128] int32; scores live in [:, :SCALE, :SCALE]."""
+    k = cand_t.shape[0]
+    n, mf, _ = off3.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # cand_t, base_yx
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, mf, 3),
+                lambda i, ct, base: (ct[i], 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, TILE_W), lambda i, ct, base: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _fine_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, 8, TILE_W), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=k * mf * 3 * 16 * 256,
+            bytes_accessed=planes.size + k * (mf * 12 + 8 * TILE_W * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cand_t.astype(jnp.int32), base_yx.astype(jnp.int32), off3, planes)
+
+
 def feature_plane_triplets(feats, valids, t, zero_plane_idx):
-    """Per-feature (plane, sy, sx) triplets for the Pallas kernel.
+    """Per-feature (plane, sy, sx) triplets for the Pallas kernels.
 
     feats: [N, 64, 3] (x, y, ori) bbox-relative at this level; invalid
     features map to the all-zero plane at index `zero_plane_idx`."""

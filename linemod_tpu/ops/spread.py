@@ -73,15 +73,17 @@ def response_maps(spread: jax.Array) -> jax.Array:
 def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
     """Padded grid-plane shape for `linearize`: (cells_h + max_cells, row_stride).
 
-    Padding guarantees the Pallas scan kernel's full-plane loads + dynamic
+    Padding guarantees the Pallas scan kernels' aligned loads + dynamic
     rotations stay exact: rows cover at least one 32-row output tile plus the
     max within-bank shift and are 32-aligned (Mosaic's dynamic_rotate needs a
     tile-aligned sublane extent); the row stride covers the grid width plus
-    max shift plus a full 128-lane tile.
+    the max shift, rounded to full 128-lane tiles. Lane rotation may wrap, but
+    the wrapped values land in lanes >= stride - max_cells >= cw, outside the
+    real grid, so they never reach a score.
     """
     ch, cw = h // t, w // t
     rows = int(np.ceil((max(ch, 32) + max_cells) / 32.0)) * 32
-    stride = int(np.ceil((cw + max_cells + 128) / 128.0)) * 128
+    stride = int(np.ceil((cw + max_cells) / 128.0)) * 128
     return ch, cw, rows, stride
 
 

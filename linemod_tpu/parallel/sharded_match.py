@@ -39,6 +39,7 @@ def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
         nf_coarse=put(state.nf_coarse),
         lim_coarse=put(state.lim_coarse),
         off3_coarse=put(state.off3_coarse),
+        off3_fine=put(state.off3_fine),
         fine_shape=state.fine_shape,
         coarse_shape=state.coarse_shape,
         max_cells_fine=state.max_cells_fine,
@@ -54,7 +55,7 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
     n_shard = state.off_fine.shape[0] // tp
     cfg = state.cfg
 
-    def local_match(off_f, off_c, nf_f, nf_c, lim, off3, color, depth):
+    def local_match(off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth):
         # reconstruct a per-shard MatchState inside the shard_map body
         local = MatchState(
             cfg=cfg,
@@ -65,6 +66,7 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             nf_coarse=nf_c,
             lim_coarse=lim,
             off3_coarse=off3,
+            off3_fine=off3f,
             fine_shape=state.fine_shape,
             coarse_shape=state.coarse_shape,
             max_cells_fine=state.max_cells_fine,
@@ -98,7 +100,7 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
     mapped = shard_map(
         local_match,
         mesh=mesh,
-        in_specs=(P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("dp"), P("dp")),
+        in_specs=(P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("dp"), P("dp")),
         out_specs=P("dp"),
         check_vma=False,  # outputs are tp-replicated after the all_gather merge
     )
@@ -112,6 +114,7 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             state.nf_coarse,
             state.lim_coarse,
             state.off3_coarse,
+            state.off3_fine,
             color,
             depth,
         )

@@ -1,8 +1,13 @@
 """Online pose-detection orchestrator (replaces C4, src/PoseDetection.cpp).
 
 Sequences per frame: principal-point recentring -> full-bank pyramid match
-(jitted) -> host-side grouping -> batched color/depth validation (jitted) ->
-closed-form pose reconstruction -> optional ICP refinement + verify-by-render.
+(one jitted device program) -> host-side grouping -> lazy per-candidate
+color/depth validation (numpy, reference post-grouping order) -> closed-form
+pose reconstruction -> optional ICP refinement + verify-by-render.
+
+Supports synchronous detect() and a pipelined detect_submit/detect_collect
+pair (detect_stream keeps one frame in flight) for streaming throughput on
+high-latency device transports.
 """
 
 from __future__ import annotations
@@ -13,9 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
-from ..ops.detect_core import detect_frame, make_check_state
+from ..ops.detect_core import detect_frame, detect_frame_dual
 from ..ops.matching import MatchConfig, MatchState, build_match_state
 from ..ops.postprocess import (
+    color_check_host,
+    hull_mask,
+    depth_p20_host,
     discard_small_groups,
     group_matches,
     reconstruct_pose,
@@ -75,7 +83,7 @@ class PoseDetection:
         )
         padded = _pad_bank(bank, cfg.template_chunk)
         self.state = build_match_state(padded, cfg)
-        self.check = make_check_state(padded, props)
+        self._hull_masks: dict[int, np.ndarray] = {}  # per-template, lazy
 
     # ------------------------------------------------------------------
     def recenter(self, img: np.ndarray) -> np.ndarray:
@@ -102,36 +110,68 @@ class PoseDetection:
         num_objects: int = 1,
         debug: DetectionDebug | None = None,
     ) -> list:
-        """Detect up to num_objects poses in one RGB-D frame.
+        """Detect up to num_objects poses in one RGB-D frame (synchronous).
 
         color: [H, W, 3] uint8 BGR; depth: [H, W] uint16/float mm.
         Returns a list of ObjectPose (CV camera frame, mm).
+        """
+        return self.detect_collect(self.detect_submit(color, depth), num_objects, debug)
 
-        The device does all per-frame array work in ONE jitted program
-        (ops/detect_core.py) and the host reads back ONE packed array —
-        device->host fetches are the latency bottleneck on remote TPU
-        transports. Grouping, gating and pose math are host-side numpy.
+    def detect_submit(self, color: np.ndarray, depth: np.ndarray):
+        """Enqueue the per-frame device program; returns a handle for
+        detect_collect.
+
+        The device runs ONE jitted match-only program (ops/detect_core.py)
+        and the host later reads back ONE packed candidate array —
+        device->host round-trips cost ~25 ms on remote TPU transports, so a
+        streaming caller keeps one frame in flight (submit k+1 before
+        collecting k) and pays only device + upload time per frame. In
+        color-only mode the depth image stays on the host (the validation
+        checks run there), halving the per-frame upload.
         """
         color_c = self.recenter(np.ascontiguousarray(color))
-        depth_c = self.recenter(np.ascontiguousarray(depth)).astype(np.float32)
-
-        packed = np.asarray(
-            detect_frame(
+        depth_c = self.recenter(np.ascontiguousarray(depth))
+        if self.bank.dual_modality:
+            packed = detect_frame_dual(
                 self.state,
-                self.check,
                 jnp.asarray(color_c.astype(np.uint8)),
                 jnp.asarray(depth_c),
             )
-        )
-        tid_all = packed[:, 0].astype(np.int64)
+        else:
+            packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))
+        return packed, color_c, depth_c
+
+    def detect_stream(self, frames, num_objects: int = 1):
+        """Generator: detect over an iterable of (color, depth) with one
+        frame always in flight (double-buffered submits)."""
+        pending = None
+        for color, depth in frames:
+            handle = self.detect_submit(color, depth)
+            if pending is not None:
+                yield self.detect_collect(pending, num_objects)
+            pending = handle
+        if pending is not None:
+            yield self.detect_collect(pending, num_objects)
+
+    def detect_collect(
+        self,
+        handle,
+        num_objects: int = 1,
+        debug: DetectionDebug | None = None,
+    ) -> list:
+        """Fetch + post-process one submitted frame.
+
+        Grouping, the lazy color/depth validation checks, and the pose math
+        are host-side numpy: the checks touch only the bbox window of each
+        candidate actually reached in group order (exactly the reference's
+        post-grouping check order, src/HighLevelLinemod.cpp:382-421 — no
+        top-K truncation of which candidates can be checked)."""
+        packed, color_c, depth_c = handle
+        packed = np.asarray(packed)
         valid = packed[:, 4] > 0.5
-        has_checks = packed[:, 5] >= 0.0
-        keep = valid & has_checks
-        tid = tid_all[keep]
-        xs = packed[keep, 1]
-        ys = packed[keep, 2]
-        color_pct = packed[keep, 5]
-        scene_p20 = packed[keep, 6]
+        tid = packed[valid, 0].astype(np.int64)
+        xs = packed[valid, 1]
+        ys = packed[valid, 2]
         if debug is not None:
             debug.num_raw_matches = int(valid.sum())
         if len(tid) == 0:
@@ -146,28 +186,39 @@ class PoseDetection:
         if not groups:
             return []
 
+        lower = np.asarray(self.props.lower_color_range, np.float32)
+        upper = np.asarray(self.props.upper_color_range, np.float32)
         poses: list[ObjectPose] = []
         grouped_pose_sets = []  # per group, candidate poses (for ICP's joint refine)
         for g in groups:
             g = np.asarray(g)
             group_poses = []
             for j in g:
-                ok_color = color_pct[j] > self.settings.percent_to_pass_check
                 t = int(tid[j])
+                xy = (xs[j], ys[j])
+                wh = self.bank.bbox[t, 2:4]
+                mask = self._hull_masks.get(t)
+                if mask is None:
+                    mask = hull_mask(self.bank.hull[t], wh)
+                    self._hull_masks[t] = mask
+                color_pct = color_check_host(color_c, mask, xy, lower, upper)
+                ok_color = color_pct > self.settings.percent_to_pass_check
                 if self.settings.use_depth_improvement:
+                    scene_p20 = depth_p20_host(depth_c, xy, wh)
                     depth_diff = (
-                        float(scene_p20[j])
+                        scene_p20
                         - float(self.bank.median_depth[t])
                         - self.settings.depth_offset
                     )
                     ok_depth = abs(depth_diff) < self.settings.distance_step
                     direct_depth = float(self.bank.z[t]) + depth_diff
                 else:
+                    scene_p20 = -1.0
                     ok_depth = True
                     direct_depth = float(self.bank.z[t])
                 if debug is not None:
                     debug.checks.append(
-                        (t, float(color_pct[j]), float(scene_p20[j]), ok_color, ok_depth)
+                        (t, float(color_pct), float(scene_p20), ok_color, ok_depth)
                     )
                 if ok_color and ok_depth:
                     pose = reconstruct_pose(
@@ -188,8 +239,9 @@ class PoseDetection:
         # (src/PoseDetection.cpp:72-84); otherwise first pose per group.
         for group_poses in grouped_pose_sets:
             if self.icp is not None and self.settings.use_icp:
-                refined = self.icp.refine(depth_c, group_poses)
-                best = self.icp.best_verified(depth_c, refined)
+                depth_f = depth_c.astype(np.float32)
+                refined = self.icp.refine(depth_f, group_poses)
+                best = self.icp.best_verified(depth_f, refined)
                 if best is not None:
                     poses.append(best)
             else:

@@ -1,11 +1,18 @@
-"""Pallas coarse-scan kernel vs the XLA gather path (interpret mode on CPU)."""
+"""Pallas scan kernels vs the XLA gather path (interpret mode on CPU).
+
+Real-TPU Mosaic compilation + numeric equality of the same kernels is covered
+by scripts/tpu_parity.py (run via tests/test_tpu_hw.py when
+LINEMOD_TPU_HW_TESTS=1, and by bench.py every round).
+"""
+
+import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
 
 from linemod_tpu.models.template_bank import make_synthetic_bank
-from linemod_tpu.ops.matching import MatchConfig, _planes_3d, build_match_state
-from linemod_tpu.ops.similarity_pallas import TILE_H, TILE_W, coarse_scores_pallas
+from linemod_tpu.ops.matching import MatchConfig, _planes_3d, build_match_state, match_templates
+from linemod_tpu.ops.similarity_pallas import coarse_scores_pallas, fine_scores_pallas
 
 
 def test_pallas_matches_gather_path(rng):
@@ -17,7 +24,7 @@ def test_pallas_matches_gather_path(rng):
     color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
     depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
     planes = _planes_3d(
-        color[::2, ::2] if False else jnp.asarray(np.asarray(color)[::2, ::2]),
+        jnp.asarray(np.asarray(color)[::2, ::2]),
         depth[::2, ::2],
         cfg.t_coarse,
         state.max_cells_coarse,
@@ -34,7 +41,9 @@ def test_pallas_matches_gather_path(rng):
     ref = flat[off[:, :, None] + grid[None, None, :]].astype(np.int64).sum(1)
 
     tiles = np.asarray(
-        coarse_scores_pallas(planes, state.off3_coarse, interpret=True)
+        coarse_scores_pallas(
+            planes, state.off3_coarse, state.max_cells_coarse, interpret=True
+        )
     )
     got = tiles[:, :ch, :cw].reshape(n, -1)
     np.testing.assert_array_equal(got, ref)
@@ -48,6 +57,66 @@ def test_pallas_invalid_features_contribute_zero(rng):
     color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
     depth = jnp.asarray(np.zeros((240, 320), np.float32))
     planes = _planes_3d(color, depth, cfg.t_coarse, state.max_cells_coarse, False)
-    tiles = np.asarray(coarse_scores_pallas(planes, state.off3_coarse, interpret=True))
+    tiles = np.asarray(
+        coarse_scores_pallas(
+            planes, state.off3_coarse, state.max_cells_coarse, interpret=True
+        )
+    )
     # max possible score = 10 features * response 4
     assert tiles.max() <= 40
+
+
+def test_pallas_fine_matches_gather_path(rng):
+    """fine_scores_pallas == the XLA fine-refine gather for random candidates."""
+    n = 16
+    bank = make_synthetic_bank(n, seed=5, bbox_wh=48)
+    cfg = MatchConfig(width=640, height=480, template_chunk=n)
+    state = build_match_state(bank, cfg)
+    scale = (2 * cfg.t_coarse) // cfg.t_fine
+    assert scale == 8
+
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
+    planes = _planes_3d(color, depth, cfg.t_fine, state.max_cells_fine, False)
+
+    ch, cw, rows, stride = state.coarse_shape
+    _, _, rows_f, stride_f = state.fine_shape
+    k = 24
+    cand_t = rng.integers(0, n, k).astype(np.int32)
+    lim = np.asarray(state.lim_coarse)
+    cand_gy = (rng.integers(0, 10_000, k) % lim[cand_t, 0]).astype(np.int32)
+    cand_gx = (rng.integers(0, 10_000, k) % lim[cand_t, 1]).astype(np.int32)
+
+    flat = np.asarray(planes).reshape(-1)
+    off = np.asarray(state.off_fine)[cand_t]  # [K, F]
+    sub = (np.arange(scale)[:, None] * stride_f + np.arange(scale)[None, :]).reshape(-1)
+    base = (cand_gy * scale) * stride_f + cand_gx * scale
+    ref = flat[off[:, :, None] + (base[:, None] + sub[None, :])[:, None, :]].astype(np.int64).sum(1)
+
+    base_yx = jnp.asarray(np.stack([cand_gy * scale, cand_gx * scale], axis=1))
+    tiles = np.asarray(
+        fine_scores_pallas(
+            planes, state.off3_fine, jnp.asarray(cand_t), base_yx, interpret=True
+        )
+    )
+    got = tiles[:, :scale, :scale].reshape(k, -1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_match_templates_pallas_path_interpret(rng, monkeypatch):
+    """End-to-end match_templates with use_pallas on, forced interpret mode,
+    equals the gather path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 16
+    bank = make_synthetic_bank(n, seed=9, bbox_wh=48)
+    cfg = MatchConfig(width=640, height=480, top_k=32, template_chunk=n)
+    state_g = build_match_state(bank, cfg)
+    state_p = build_match_state(bank, dataclasses.replace(cfg, use_pallas=True))
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
+    out_g = {k: np.asarray(v) for k, v in match_templates(state_g, color, depth).items()}
+    with pltpu.force_tpu_interpret_mode():
+        out_p = {k: np.asarray(v) for k, v in match_templates(state_p, color, depth).items()}
+    for k in out_g:
+        np.testing.assert_array_equal(out_p[k], out_g[k])
