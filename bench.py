@@ -55,7 +55,7 @@ def run_pipeline(report_accuracy: bool):
 
     # warmup (compile)
     poses = det.detect(color, depth, 1)
-    vsd = None
+    vsd = add = None
     if report_accuracy:
         mesh = load_ply("models/lagergehaeuse.ply")
         bench = Benchmark(mesh, cam)
@@ -63,13 +63,14 @@ def run_pipeline(report_accuracy: bool):
         if poses:
             scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
             vsd = bench.score_vsd(scene, gt, poses[0])
+            add = bench.score_add(gt, poses[0])
 
     # production serving shape: frames stream in, one frame always in flight
     # (detect_stream), so each frame costs device time, not round-trip time
     t0 = time.time()
     n_done = sum(1 for _ in det.detect_stream((color, depth) for _ in range(FRAMES)))
     dt = (time.time() - t0) / n_done
-    return 1.0 / dt, vsd, len(poses)
+    return 1.0 / dt, vsd, add, len(poses)
 
 
 def measure_cpu_baseline() -> float:
@@ -96,16 +97,18 @@ def measure_cpu_baseline() -> float:
 
 def main():
     if "--cpu-worker" in sys.argv:
-        fps, _, _ = run_pipeline(report_accuracy=False)
+        fps, _, _, _ = run_pipeline(report_accuracy=False)
         print(json.dumps({"fps": fps}))
         return
 
-    fps, vsd, n_poses = run_pipeline(report_accuracy=True)
+    fps, vsd, add, n_poses = run_pipeline(report_accuracy=True)
     try:
         cpu_fps = measure_cpu_baseline()
     except Exception:
         cpu_fps = None
-    ok = n_poses > 0 and (vsd is None or vsd < 0.3)
+    # reference correctness criteria: VSD < 0.3 (src/Benchmark.cpp:33) AND
+    # mean ADD <= 21 (include/Benchmark.h:105)
+    ok = n_poses > 0 and (vsd is None or vsd < 0.3) and (add is None or add <= 21.0)
     result = {
         "metric": "detector_fps_per_chip"
         + ("" if ok else "_ACCURACY_FAIL"),

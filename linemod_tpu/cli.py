@@ -11,6 +11,9 @@ Usage:
     python -m linemod_tpu.cli detect --model lagergehaeuse.ply \
         [--images benchmark/img%d.png --depths benchmark/depth%d.png] \
         [--benchmark] [--display OUT_DIR]
+    python -m linemod_tpu.cli evaluate --model lagergehaeuse.ply \
+        [--images benchmarkLINEMOD/color%d.jpg --depths benchmarkLINEMOD/depth%d.dpt \
+         --gt linemod]   # or --gt yml for the reference's pose%d.yml capture format
     python -m linemod_tpu.cli aruco --out board.png
 """
 
@@ -122,6 +125,97 @@ def cmd_detect(args):
     return 0
 
 
+def cmd_evaluate(args):
+    """Dataset evaluation with running pass rates (the reference's
+    commented-in LINEMOD-dataset flow, detector.cpp:13,28 +
+    src/Benchmark.cpp:40-131,196-251): VSD on every frame, plus ADD —
+    or ADD-S when the model is rotationally symmetric / has symmetry
+    planes (the ambiguous-pose variant, src/Benchmark.cpp:84-131)."""
+    from .config import load_model_properties, load_settings
+    from .models.template_bank import TemplateBank
+    from .pipeline.benchmark import (
+        Benchmark,
+        read_ground_truth_linemod,
+        read_ground_truth_pose,
+    )
+    from .pipeline.pose_detection import PoseDetection
+    from .utils.ply import load_ply
+
+    cam, settings = load_settings(args.settings)
+    model_path = os.path.join(settings.model_folder, args.model)
+    bank_path = os.path.join(args.banks, os.path.splitext(args.model)[0] + ".npz")
+    if not os.path.exists(bank_path):
+        print(f"error: no bank at {bank_path}; run generate first", file=sys.stderr)
+        return 2
+    bank = TemplateBank.load(bank_path)
+    props = load_model_properties(model_path)
+    mesh = load_ply(model_path)
+    det = PoseDetection(bank, cam, settings, props)
+    bench = Benchmark(mesh, cam)
+    # rot-sym-aware metric selection: symmetric objects are scored with the
+    # ambiguous (closest-vertex) variant, like calculateErrorLMAmbigous
+    use_adds = props.rotationally_symmetrical or any(
+        s == 0.0 for s in props.planes_of_symmetry
+    )
+    if args.diameter is not None:
+        diameter = args.diameter
+    else:
+        from .ops.metrics import OBJECT_DIAMETER
+
+        diameter = OBJECT_DIAMETER
+
+    n = vsd_pass = pose_pass = detected = 0
+    i = args.start
+    while True:
+        color, depth = _load_image_pair(args.images, args.depths, i)
+        if color is None:
+            break
+        if args.gt == "linemod":
+            base = os.path.dirname(args.images % 0 if "%" in args.images else args.images)
+            gt = read_ground_truth_linemod(
+                os.path.join(base, f"tra{i}.tra"), os.path.join(base, f"rot{i}.rot")
+            )
+        else:
+            base = os.path.dirname(args.images % 0 if "%" in args.images else args.images)
+            gt = read_ground_truth_pose(os.path.join(base, f"pose{i}.yml"))
+        poses = det.detect(color, depth, 1)
+        n += 1
+        msg = f"frame {i}: "
+        if poses:
+            detected += 1
+            scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
+            vsd = bench.score_vsd(scene, gt, poses[0])
+            if use_adds:
+                err = bench.score_adds(gt, poses[0], diameter)
+                metric = "ADD-S"
+            else:
+                err = bench.score_add(gt, poses[0], diameter)
+                metric = "ADD"
+            vsd_pass += vsd < 0.3
+            pose_pass += err <= diameter
+            msg += f"VSD {vsd:.3f}  {metric} {err:.2f} mm"
+        else:
+            msg += "no detection"
+        msg += (
+            f"   running: VSD {100.0 * vsd_pass / n:.1f}%"
+            f"  {'ADD-S' if use_adds else 'ADD'} {100.0 * pose_pass / n:.1f}%"
+            f"  detected {100.0 * detected / n:.1f}%"
+        )
+        print(msg)
+        i += 1
+        if args.max_frames and n >= args.max_frames:
+            break
+    if n == 0:
+        print("error: no input images", file=sys.stderr)
+        return 2
+    print(
+        f"== {n} frames: VSD pass {100.0 * vsd_pass / n:.1f}%, "
+        f"{'ADD-S' if use_adds else 'ADD'} pass {100.0 * pose_pass / n:.1f}%, "
+        f"detection rate {100.0 * detected / n:.1f}%"
+    )
+    return 0
+
+
 def cmd_aruco(args):
     from .pipeline.aruco_capture import create_aruco_board
 
@@ -163,6 +257,30 @@ def main(argv=None):
     d.add_argument("--display", default="", help="directory for overlay images")
     d.add_argument("--max-frames", type=int, default=0)
     d.set_defaults(fn=cmd_detect)
+
+    e = sub.add_parser(
+        "evaluate", help="score detection over a dataset (VSD + ADD/ADD-S pass rates)"
+    )
+    e.add_argument("--settings", default="linemod_settings.yml")
+    e.add_argument("--banks", default="banks")
+    e.add_argument("--model", required=True)
+    e.add_argument(
+        "--images", default="benchmarkLINEMOD/color%d.jpg",
+        help="frame template (reference layout: benchmarkLINEMOD/color%%d.jpg)",
+    )
+    e.add_argument(
+        "--depths", default="benchmarkLINEMOD/depth%d.dpt",
+        help=".dpt (LINEMOD raw) or 16-bit png depth template",
+    )
+    e.add_argument(
+        "--gt", choices=["linemod", "yml"], default="linemod",
+        help="ground-truth format: tra%%d.tra/rot%%d.rot or pose%%d.yml",
+    )
+    e.add_argument("--diameter", type=float, default=None,
+                   help="ADD correctness diameter (default: reference constant)")
+    e.add_argument("--start", type=int, default=0)
+    e.add_argument("--max-frames", type=int, default=0)
+    e.set_defaults(fn=cmd_evaluate)
 
     a = sub.add_parser("aruco", help="create the aruco calibration board image")
     a.add_argument("--out", default="aruco_board.png")

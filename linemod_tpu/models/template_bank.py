@@ -159,6 +159,41 @@ def make_synthetic_bank(
     )
 
 
+def concat_banks(banks: list["TemplateBank"]) -> tuple["TemplateBank", np.ndarray]:
+    """Concatenate several classes' banks into one scannable super-bank.
+
+    Multi-model orchestration scans all loaded classes against the SAME
+    per-frame response planes in one device program (the reference instead
+    holds all classes in one cv::linemod detector and matches the requested
+    class, src/PoseDetection.cpp:3-18 + src/HighLevelLinemod.cpp:145).
+    Returns (combined bank, offsets) where offsets[i] is the first global
+    template id of banks[i]; global id -> class via np.searchsorted.
+    """
+    if not banks:
+        raise ValueError("no banks")
+    dual = banks[0].dual_modality
+    if any(b.dual_modality != dual for b in banks):
+        raise ValueError("all banks must share the modality configuration")
+
+    def cat(field):
+        parts = [getattr(b, field) for b in banks]
+        if any(p is None for p in parts):
+            return None
+        return np.concatenate(parts, axis=0)
+
+    fields = ["feat0", "valid0", "feat1", "valid1", "bbox", "quat", "z",
+              "median_depth", "hull"]
+    if dual:
+        fields += ["nfeat0", "nvalid0", "nfeat1", "nvalid1"]
+    combined = TemplateBank(
+        class_id="+".join(b.class_id for b in banks),
+        dual_modality=dual,
+        **{f: cat(f) for f in fields},
+    )
+    offsets = np.cumsum([0] + [b.num_templates for b in banks])[:-1]
+    return combined, offsets
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain; points [M, 2] -> hull vertices CCW."""
     pts = np.unique(points, axis=0)

@@ -1,0 +1,183 @@
+"""Multi-model online orchestration.
+
+The reference loads ALL models' template banks at startup, cross-checks the
+bank's class ids against the model files on disk
+(src/PoseDetection.cpp:142-160), and matches the requested class per frame
+(src/HighLevelLinemod.cpp:145). The TPU equivalent holds every class in one
+concatenated super-bank so a single device program computes the per-frame
+response planes ONCE and scans all classes against them — per-class scans
+would each recompute the planes.
+
+detect_all returns poses for every class in one frame; detect(class_id)
+restricts post-processing (and pose output) to one class. The scan itself is
+always whole-bank — with the Pallas kernels the marginal cost of the extra
+classes' templates is far below one extra planes pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CameraParameters, ModelProperties, TemplateSettings
+from ..models.template_bank import TemplateBank, concat_banks
+from ..ops.detect_core import detect_frame, detect_frame_dual
+from ..ops.matching import MatchConfig, build_match_state
+from .pose_detection import (
+    DetectionDebug,
+    PoseDetection,
+    _pad_bank,
+    _pad_chunk,
+    postprocess_matches,
+)
+
+
+def check_bank_model_consistency(class_ids, model_files) -> None:
+    """Banks on disk must one-to-one match the model files
+    (src/PoseDetection.cpp:155-159: 'Number of Models does not match' /
+    per-index id==file check)."""
+    stems = sorted(os.path.splitext(os.path.basename(f))[0] for f in model_files)
+    ids = sorted(class_ids)
+    if len(ids) != len(stems):
+        raise ValueError(
+            f"number of banks ({len(ids)}) does not match number of model "
+            f"files ({len(stems)})"
+        )
+    for i, s in zip(ids, stems):
+        if i != s:
+            raise ValueError(f"bank class id {i!r} does not match model file {s!r}")
+
+
+class MultiModelPoseDetection:
+    """One detector over N classes: shared per-frame planes, per-class
+    post-processing.
+
+    banks/props: dicts keyed by class id. model_files (optional): model file
+    names to consistency-check against, like the reference's startup check.
+    """
+
+    def __init__(
+        self,
+        banks: dict[str, TemplateBank],
+        cam: CameraParameters,
+        settings: TemplateSettings,
+        props: dict[str, ModelProperties],
+        model_files=None,
+        icps: dict | None = None,
+    ):
+        if model_files is not None:
+            check_bank_model_consistency(list(banks), model_files)
+        if set(banks) != set(props):
+            raise ValueError("banks and props must cover the same class ids")
+        self.class_ids = list(banks)
+        self.banks = banks
+        self.props = props
+        self.cam = cam
+        self.settings = settings
+        self.icps = icps or {}
+
+        combined, offsets = concat_banks([banks[c] for c in self.class_ids])
+        self.offsets = offsets  # first global tid per class
+        self.sizes = np.array([banks[c].num_templates for c in self.class_ids])
+        import jax
+
+        t_coarse = 8
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and (cam.height // 2) // t_coarse <= 32
+            and (cam.width // 2) // t_coarse <= 128
+        )
+        cfg = MatchConfig(
+            width=cam.width,
+            height=cam.height,
+            t_fine=5 if combined.dual_modality else 2,
+            t_coarse=t_coarse,
+            threshold=settings.detector_threshold,
+            dual_modality=combined.dual_modality,
+            template_chunk=min(256, _pad_chunk(combined.num_templates)),
+            use_pallas=use_pallas,
+        )
+        self.dual = combined.dual_modality
+        self.state = build_match_state(_pad_bank(combined, cfg.template_chunk), cfg)
+        self._hull_masks = {c: {} for c in self.class_ids}
+        # recentring is shared with the single-model orchestrator
+        self.recenter = PoseDetection.recenter.__get__(self)
+
+    # ------------------------------------------------------------------
+    def detect_submit(self, color: np.ndarray, depth: np.ndarray):
+        color_c = self.recenter(np.ascontiguousarray(color))
+        depth_c = self.recenter(np.ascontiguousarray(depth))
+        if self.dual:
+            packed = detect_frame_dual(
+                self.state, jnp.asarray(color_c.astype(np.uint8)), jnp.asarray(depth_c)
+            )
+        else:
+            packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))
+        return packed, color_c, depth_c
+
+    def detect_all(
+        self,
+        color: np.ndarray,
+        depth: np.ndarray,
+        num_objects: int = 1,
+        debug: dict[str, DetectionDebug] | None = None,
+    ) -> dict[str, list]:
+        """Detect every loaded class in one frame (planes computed once).
+
+        Returns {class_id: [ObjectPose, ...]} (empty lists included)."""
+        return self._collect(
+            self.detect_submit(color, depth), self.class_ids, num_objects, debug
+        )
+
+    def detect(
+        self,
+        class_id: str,
+        color: np.ndarray,
+        depth: np.ndarray,
+        num_objects: int = 1,
+        debug: DetectionDebug | None = None,
+    ) -> list:
+        """Detect one class (the reference's per-frame shape,
+        src/PoseDetection.cpp:45 with a model name argument)."""
+        out = self._collect(
+            self.detect_submit(color, depth),
+            [class_id],
+            num_objects,
+            {class_id: debug} if debug is not None else None,
+        )
+        return out[class_id]
+
+    # ------------------------------------------------------------------
+    def _collect(self, handle, class_ids, num_objects, debug):
+        packed, color_c, depth_c = handle
+        packed = np.asarray(packed)
+        valid = packed[:, 4] > 0.5
+        tid = packed[valid, 0].astype(np.int64)
+        xs = packed[valid, 1]
+        ys = packed[valid, 2]
+        cls_idx = np.searchsorted(self.offsets, tid, side="right") - 1
+        results: dict[str, list] = {}
+        for c in class_ids:
+            i = self.class_ids.index(c)
+            sel = cls_idx == i
+            dbg = debug.get(c) if debug else None
+            if dbg is not None:
+                dbg.num_raw_matches = int(sel.sum())
+            results[c] = postprocess_matches(
+                tid[sel] - self.offsets[i],
+                xs[sel],
+                ys[sel],
+                self.banks[c],
+                self.props[c],
+                self.settings,
+                self.cam,
+                color_c,
+                depth_c,
+                num_objects,
+                self._hull_masks[c],
+                icp=self.icps.get(c),
+                debug=dbg,
+            )
+        return results

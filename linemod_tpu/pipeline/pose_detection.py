@@ -174,81 +174,114 @@ class PoseDetection:
         ys = packed[valid, 2]
         if debug is not None:
             debug.num_raw_matches = int(valid.sum())
-        if len(tid) == 0:
-            return []
+        return postprocess_matches(
+            tid,
+            xs,
+            ys,
+            self.bank,
+            self.props,
+            self.settings,
+            self.cam,
+            color_c,
+            depth_c,
+            num_objects,
+            self._hull_masks,
+            icp=self.icp,
+            debug=debug,
+        )
 
-        groups = group_matches(xs, ys, self.settings.group_radius)
-        if debug is not None:
-            debug.num_groups = len(groups)
-        groups = discard_small_groups(groups, self.settings.discard_group_ratio)
-        if debug is not None:
-            debug.groups_kept = len(groups)
-        if not groups:
-            return []
 
-        lower = np.asarray(self.props.lower_color_range, np.float32)
-        upper = np.asarray(self.props.upper_color_range, np.float32)
-        poses: list[ObjectPose] = []
-        grouped_pose_sets = []  # per group, candidate poses (for ICP's joint refine)
-        for g in groups:
-            g = np.asarray(g)
-            group_poses = []
-            for j in g:
-                t = int(tid[j])
-                xy = (xs[j], ys[j])
-                wh = self.bank.bbox[t, 2:4]
-                mask = self._hull_masks.get(t)
-                if mask is None:
-                    mask = hull_mask(self.bank.hull[t], wh)
-                    self._hull_masks[t] = mask
-                color_pct = color_check_host(color_c, mask, xy, lower, upper)
-                ok_color = color_pct > self.settings.percent_to_pass_check
-                if self.settings.use_depth_improvement:
-                    scene_p20 = depth_p20_host(depth_c, xy, wh)
-                    depth_diff = (
-                        scene_p20
-                        - float(self.bank.median_depth[t])
-                        - self.settings.depth_offset
-                    )
-                    ok_depth = abs(depth_diff) < self.settings.distance_step
-                    direct_depth = float(self.bank.z[t]) + depth_diff
-                else:
-                    scene_p20 = -1.0
-                    ok_depth = True
-                    direct_depth = float(self.bank.z[t])
-                if debug is not None:
-                    debug.checks.append(
-                        (t, float(color_pct), float(scene_p20), ok_color, ok_depth)
-                    )
-                if ok_color and ok_depth:
-                    pose = reconstruct_pose(
-                        float(xs[j]),
-                        float(ys[j]),
-                        self.bank.bbox[t],
-                        self.bank.quat[t],
-                        direct_depth,
-                        self.cam,
-                    )
-                    group_poses.append(pose)
-                if len(group_poses) >= self.settings.number_wanted_poses:
-                    break
-            if group_poses:
-                grouped_pose_sets.append(group_poses)
+def postprocess_matches(
+    tid: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    bank,
+    props,
+    settings,
+    cam,
+    color_c: np.ndarray,
+    depth_c: np.ndarray,
+    num_objects: int,
+    hull_masks: dict,
+    icp=None,
+    debug: DetectionDebug | None = None,
+) -> list:
+    """Group + validate + reconstruct poses for one class's valid matches
+    (the host half of the frame; shared by single- and multi-model
+    orchestration). tid is local to `bank`."""
+    if len(tid) == 0:
+        return []
 
-        # ICP refinement + verify-by-render best-pose selection per group
-        # (src/PoseDetection.cpp:72-84); otherwise first pose per group.
-        for group_poses in grouped_pose_sets:
-            if self.icp is not None and self.settings.use_icp:
-                depth_f = depth_c.astype(np.float32)
-                refined = self.icp.refine(depth_f, group_poses)
-                best = self.icp.best_verified(depth_f, refined)
-                if best is not None:
-                    poses.append(best)
+    groups = group_matches(xs, ys, settings.group_radius)
+    if debug is not None:
+        debug.num_groups = len(groups)
+    groups = discard_small_groups(groups, settings.discard_group_ratio)
+    if debug is not None:
+        debug.groups_kept = len(groups)
+    if not groups:
+        return []
+
+    lower = np.asarray(props.lower_color_range, np.float32)
+    upper = np.asarray(props.upper_color_range, np.float32)
+    poses: list[ObjectPose] = []
+    grouped_pose_sets = []  # per group, candidate poses (for ICP's joint refine)
+    for g in groups:
+        g = np.asarray(g)
+        group_poses = []
+        for j in g:
+            t = int(tid[j])
+            xy = (xs[j], ys[j])
+            wh = bank.bbox[t, 2:4]
+            mask = hull_masks.get(t)
+            if mask is None:
+                mask = hull_mask(bank.hull[t], wh)
+                hull_masks[t] = mask
+            color_pct = color_check_host(color_c, mask, xy, lower, upper)
+            ok_color = color_pct > settings.percent_to_pass_check
+            if settings.use_depth_improvement:
+                scene_p20 = depth_p20_host(depth_c, xy, wh)
+                depth_diff = (
+                    scene_p20 - float(bank.median_depth[t]) - settings.depth_offset
+                )
+                ok_depth = abs(depth_diff) < settings.distance_step
+                direct_depth = float(bank.z[t]) + depth_diff
             else:
-                poses.append(group_poses[0])
-            if len(poses) >= num_objects:
+                scene_p20 = -1.0
+                ok_depth = True
+                direct_depth = float(bank.z[t])
+            if debug is not None:
+                debug.checks.append(
+                    (t, float(color_pct), float(scene_p20), ok_color, ok_depth)
+                )
+            if ok_color and ok_depth:
+                pose = reconstruct_pose(
+                    float(xs[j]),
+                    float(ys[j]),
+                    bank.bbox[t],
+                    bank.quat[t],
+                    direct_depth,
+                    cam,
+                )
+                group_poses.append(pose)
+            if len(group_poses) >= settings.number_wanted_poses:
                 break
-        return poses
+        if group_poses:
+            grouped_pose_sets.append(group_poses)
+
+    # ICP refinement + verify-by-render best-pose selection per group
+    # (src/PoseDetection.cpp:72-84); otherwise first pose per group.
+    for group_poses in grouped_pose_sets:
+        if icp is not None and settings.use_icp:
+            depth_f = depth_c.astype(np.float32)
+            refined = icp.refine(depth_f, group_poses)
+            best = icp.best_verified(depth_f, refined)
+            if best is not None:
+                poses.append(best)
+        else:
+            poses.append(group_poses[0])
+        if len(poses) >= num_objects:
+            break
+    return poses
 
 
 def _pad_chunk(n: int) -> int:
