@@ -44,6 +44,34 @@ def _load_image_pair(img_tpl: str, depth_tpl: str, i: int):
     return color, depth
 
 
+def _frame_source(images: str, depths: str, start: int = 0):
+    """Iterate (color, depth) frames. PNG sequences go through the native
+    C++ prefetch loader when its library is available (decode of frame i+1
+    overlaps frame i's processing on a background thread,
+    native/loader.cpp); anything else falls back to per-frame cv2/raw IO."""
+    if (
+        start == 0
+        and "%" in images
+        and images.endswith(".png")
+        and depths.endswith(".png")
+    ):
+        from .utils import native
+
+        if native.available():
+            try:
+                yield from native.NativeFrameLoader(images, depths)
+                return
+            except Exception:
+                pass  # fall back to cv2 below
+    i = start
+    while True:
+        color, depth = _load_image_pair(images, depths, i)
+        if color is None:
+            return
+        yield color, depth
+        i += 1
+
+
 def cmd_generate(args):
     from .config import load_settings
     from .pipeline.template_generator import TemplateGenerator
@@ -60,8 +88,8 @@ def cmd_detect(args):
     from .ops.icp import IcpRefiner
     from .ops.rasterizer import mesh_to_arrays
     from .pipeline.benchmark import Benchmark, read_ground_truth_pose
-    from .pipeline.pose_detection import PoseDetection
-    from .utils.draw import draw_coordinate_system
+    from .pipeline.pose_detection import DetectionDebug, PoseDetection
+    from .utils.draw import draw_coordinate_system, draw_features
     from .utils.ply import load_ply
 
     cam, settings = load_settings(args.settings)
@@ -81,26 +109,34 @@ def cmd_detect(args):
     )
     det = PoseDetection(bank, cam, settings, props, mesh=mesh, icp=icp)
     bench = Benchmark(mesh, cam) if args.benchmark else None
+    timer = None
+    if args.profile:
+        from .utils.profiling import StageTimer
 
-    i = 0
+        # sync=False: wall-clock stages; the detect stage already ends with a
+        # real device fetch
+        timer = StageTimer(sync=False)
+    from contextlib import nullcontext
+
+    def stage(name):
+        return timer.stage(name) if timer else nullcontext()
+
+    i = -1
     times = []
-    while True:
-        color, depth = _load_image_pair(args.images, args.depths, i)
-        if color is None:
-            if i == 0:
-                print("error: no input images", file=sys.stderr)
-                return 2
-            break
+    for i, (color, depth) in enumerate(_frame_source(args.images, args.depths)):
         t0 = time.time()
-        poses = det.detect(color, depth, args.num_objects)
+        dbg = DetectionDebug() if args.display else None
+        with stage("detect"):
+            poses = det.detect(color, depth, args.num_objects, debug=dbg)
         times.append(time.time() - t0)
         msg = f"frame {i}: {len(poses)} pose(s) in {times[-1]*1000:.1f} ms"
         if poses and bench is not None:
-            gt = read_ground_truth_pose(
-                os.path.join(os.path.dirname(args.images % 0), f"pose{i}.yml")
-            )
-            scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
-            err = bench.score_vsd(scene, gt, poses[0])
+            with stage("benchmark"):
+                gt = read_ground_truth_pose(
+                    os.path.join(os.path.dirname(args.images % 0), f"pose{i}.yml")
+                )
+                scene = det.recenter(np.ascontiguousarray(depth)).astype(np.float32)
+                err = bench.score_vsd(scene, gt, poses[0])
             bench.next_image()
             msg += f"  VSD error: {err:.3f}  ({bench.hodan_score:.0f}% correct)"
         elif bench is not None:
@@ -109,19 +145,31 @@ def cmd_detect(args):
         if args.display and poses:
             import cv2
 
-            out = color.copy()
-            for p in poses:
-                draw_coordinate_system(out, cam, 75.0, p)
-            os.makedirs(args.display, exist_ok=True)
-            cv2.imwrite(os.path.join(args.display, f"det{i}.png"), out)
-        i += 1
-        if args.max_frames and i >= args.max_frames:
+            with stage("display"):
+                out = color.copy()
+                # feature dots of every passing check (drawResponse analogue,
+                # src/HighLevelLinemod.cpp:545-566) + pose axes
+                for t, _, _, okc, okd, xy in dbg.checks:
+                    if okc and okd:
+                        draw_features(
+                            out, bank.feat0[t], bank.valid0[t], xy
+                        )
+                for p in poses:
+                    draw_coordinate_system(out, cam, 75.0, p)
+                os.makedirs(args.display, exist_ok=True)
+                cv2.imwrite(os.path.join(args.display, f"det{i}.png"), out)
+        if args.max_frames and i + 1 >= args.max_frames:
             break
+    if i < 0:
+        print("error: no input images", file=sys.stderr)
+        return 2
     if times:
         print(
-            f"{i} frames, mean {np.mean(times)*1000:.1f} ms "
+            f"{i + 1} frames, mean {np.mean(times)*1000:.1f} ms "
             f"({1.0/np.mean(times):.2f} fps)"
         )
+    if timer:
+        print(timer.summary())
     return 0
 
 
@@ -256,6 +304,8 @@ def main(argv=None):
     d.add_argument("--benchmark", action="store_true")
     d.add_argument("--display", default="", help="directory for overlay images")
     d.add_argument("--max-frames", type=int, default=0)
+    d.add_argument("--profile", action="store_true",
+                   help="print a per-stage wall-clock breakdown at the end")
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser(

@@ -251,7 +251,8 @@ def postprocess_matches(
                 direct_depth = float(bank.z[t])
             if debug is not None:
                 debug.checks.append(
-                    (t, float(color_pct), float(scene_p20), ok_color, ok_depth)
+                    (t, float(color_pct), float(scene_p20), ok_color, ok_depth,
+                     (float(xy[0]), float(xy[1])))
                 )
             if ok_color and ok_depth:
                 pose = reconstruct_pose(

@@ -20,13 +20,3 @@ class ObjectPose:
 
         return quat_to_mat(self.quaternion)
 
-
-@dataclasses.dataclass
-class Match:
-    """A scored template match (mirrors cv::linemod::Match)."""
-
-    x: int
-    y: int
-    similarity: float
-    class_id: str
-    template_id: int

@@ -1,0 +1,99 @@
+"""ICP stress parity (VERDICT round-1 weakness #7): convergence from
+LINE-MOD-grade initial error — one distance step (50 mm) off in z plus a
+15-degree rotation — matching what the reference's 6-iteration x 8-level
+coarse-to-fine ICP absorbs (src/HighLevelLinemodIcp.cpp:12)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from linemod_tpu.config import CameraParameters
+from linemod_tpu.ops.icp import IcpRefiner, verify_mean_depth_diff
+from linemod_tpu.ops.rasterizer import mesh_to_arrays, render
+from linemod_tpu.types import ObjectPose
+from linemod_tpu.utils.geometry import mat_to_quat, quat_to_mat, rotation_about_axis
+from linemod_tpu.utils.ply import load_ply
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_PLY = os.path.join(REPO, "example", "models", "lagergehaeuse.ply")
+
+
+@pytest.fixture(scope="module")
+def fixture_scene():
+    cam = CameraParameters(fx=1044.87, fy=1045.69, cx=320, cy=240, width=640, height=480)
+    mesh = load_ply(FIXTURE_PLY)
+    marr = mesh_to_arrays(mesh)
+    gt_rot = rotation_about_axis([1.0, 0.0, 0.0], np.radians(105.0)).astype(np.float32)
+    gt_t = np.array([10.0, 25.0, 620.0], np.float32)
+    depth = np.asarray(
+        render(
+            marr,
+            jnp.asarray(gt_rot),
+            jnp.asarray(gt_t),
+            cam.fx,
+            cam.fy,
+            cam.width / 2.0,
+            cam.height / 2.0,
+            width=cam.width,
+            height=cam.height,
+        )
+    )
+    return cam, mesh, marr, gt_rot, gt_t, depth
+
+
+def _pose_error(p: ObjectPose, gt_rot, gt_t, mesh):
+    """Translation error + ADD-S (the object is rotationally symmetric, so
+    raw rotation-angle error is meaningless: ICP legitimately slides about
+    the symmetry axis; the ambiguous-pose metric is the right oracle,
+    src/Benchmark.cpp:84-131)."""
+    from linemod_tpu.ops.metrics import adds_error
+
+    dt = np.linalg.norm(np.asarray(p.translation) - gt_t)
+    sub = jnp.asarray(mesh.subsampled_vertices(40))
+    adds = float(
+        adds_error(
+            sub,
+            jnp.asarray(gt_rot, jnp.float32),
+            jnp.asarray(gt_t, jnp.float32),
+            jnp.asarray(quat_to_mat(p.quaternion), jnp.float32),
+            jnp.asarray(p.translation, jnp.float32),
+        )
+    )
+    return dt, adds
+
+
+@pytest.mark.parametrize(
+    "dz,deg",
+    [(50.0, 0.0), (0.0, 15.0), (50.0, 15.0), (-50.0, 10.0)],
+)
+def test_icp_converges_from_distance_step_error(fixture_scene, dz, deg):
+    cam, mesh, marr, gt_rot, gt_t, depth = fixture_scene
+    icp = IcpRefiner(mesh, cam, sample_step=2, mesh_arrays=marr)
+    pert = rotation_about_axis([0.3, 1.0, 0.2], np.radians(deg)).astype(np.float32)
+    init = ObjectPose(
+        translation=(gt_t + np.array([5.0, -5.0, dz])).astype(np.float64),
+        quaternion=mat_to_quat(pert @ gt_rot),
+        bounding_box=(220, 180, 200, 160),
+    )
+    dt0, adds0 = _pose_error(init, gt_rot, gt_t, mesh)
+    refined = icp.refine(depth, [init])[0]
+    dt, adds = _pose_error(refined, gt_rot, gt_t, mesh)
+    assert dt < 10.0, f"translation {dt0:.1f} -> {dt:.1f} mm (not converged)"
+    # the benchmark's own correctness bar is ADD-S <= 21 mm; demand better
+    assert adds < 10.0, f"ADD-S {adds0:.1f} -> {adds:.1f} mm (not converged)"
+    # and the verify-by-render gate must accept the refined pose
+    rendered = render(
+        marr,
+        jnp.asarray(quat_to_mat(refined.quaternion), jnp.float32),
+        jnp.asarray(refined.translation, jnp.float32),
+        cam.fx,
+        cam.fy,
+        cam.width / 2.0,
+        cam.height / 2.0,
+        width=cam.width,
+        height=cam.height,
+    )
+    mean_diff = float(verify_mean_depth_diff(jnp.asarray(depth), rendered))
+    assert mean_diff <= 35.0
