@@ -90,7 +90,7 @@ def cmd_detect(args):
     from .pipeline.benchmark import Benchmark, read_ground_truth_pose
     from .pipeline.pose_detection import DetectionDebug, PoseDetection
     from .utils.draw import draw_coordinate_system, draw_features
-    from .utils.ply import load_ply
+    from .utils.mesh_io import load_mesh
 
     cam, settings = load_settings(args.settings)
     model_path = os.path.join(settings.model_folder, args.model)
@@ -100,7 +100,7 @@ def cmd_detect(args):
         return 2
     bank = TemplateBank.load(bank_path)
     props = load_model_properties(model_path)
-    mesh = load_ply(model_path)
+    mesh = load_mesh(model_path)
     marr = mesh_to_arrays(mesh)
     icp = (
         IcpRefiner(mesh, cam, settings.icp_subsampling_factor, mesh_arrays=marr)
@@ -187,7 +187,7 @@ def cmd_evaluate(args):
         read_ground_truth_pose,
     )
     from .pipeline.pose_detection import PoseDetection
-    from .utils.ply import load_ply
+    from .utils.mesh_io import load_mesh
 
     cam, settings = load_settings(args.settings)
     model_path = os.path.join(settings.model_folder, args.model)
@@ -197,7 +197,7 @@ def cmd_evaluate(args):
         return 2
     bank = TemplateBank.load(bank_path)
     props = load_model_properties(model_path)
-    mesh = load_ply(model_path)
+    mesh = load_mesh(model_path)
     det = PoseDetection(bank, cam, settings, props)
     bench = Benchmark(mesh, cam)
     # rot-sym-aware metric selection: symmetric objects are scored with the

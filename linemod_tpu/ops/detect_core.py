@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .matching import MatchState, match_templates
+from .matching import MatchState, match_templates, match_templates_quant
 
 
 def _pack(m):
@@ -47,6 +47,15 @@ def detect_frame(state: MatchState, color: jax.Array):
     colorf = color.astype(jnp.float32)
     depth_unused = jnp.zeros(colorf.shape[:2], jnp.float32)
     return _pack(match_templates(state, colorf, depth_unused))
+
+
+@jax.jit
+def detect_frame_quant(state: MatchState, quant0: jax.Array, quant1: jax.Array):
+    """Host-quantize transport mode: the frame arrives as the two per-level
+    quantized orientation maps (u8, 384 KB vs 921 KB of color at 640x480 —
+    the upload IS the frame-rate ceiling on remote-TPU links), produced
+    bit-identically to the on-device path by native/quantize.cpp."""
+    return _pack(match_templates_quant(state, quant0, quant1))
 
 
 @jax.jit

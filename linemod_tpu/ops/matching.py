@@ -179,31 +179,30 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
     )
 
 
-def _planes_3d(color, depth, t, max_cells, dual):
-    """Quantize one pyramid level and return linearized planes
-    [P(+1 zero), rows, stride]; the trailing all-zero plane is where
-    invalid-feature offsets point."""
-    quant, _ = quantize_color_gradients(color)
-    h, w = quant.shape
+def _planes_from_quant(quants, t, max_cells):
+    """Linearized response planes [P(+1 zero), rows, stride] from one or more
+    quantized one-hot orientation maps (one per modality); the trailing
+    all-zero plane is where invalid-feature offsets point."""
+    h, w = quants[0].shape
     hp = h - h % t
     wp = w - w % t
-    quant = quant[:hp, :wp]
     _, _, rows, stride = linear_plane_shape(hp, wp, t, max_cells)
     planes = [
-        linearize(response_maps(spread_orientations(quant, t)), t, max_cells).reshape(
-            -1, rows, stride
-        )
+        linearize(
+            response_maps(spread_orientations(q[:hp, :wp], t)), t, max_cells
+        ).reshape(-1, rows, stride)
+        for q in quants
     ]
-    if dual:
-        nquant, _ = quantize_normals(depth)
-        nquant = nquant[:hp, :wp]
-        planes.append(
-            linearize(
-                response_maps(spread_orientations(nquant, t)), t, max_cells
-            ).reshape(-1, rows, stride)
-        )
     planes.append(jnp.zeros((1, rows, stride), jnp.uint8))
     return jnp.concatenate(planes, axis=0)
+
+
+def _planes_3d(color, depth, t, max_cells, dual):
+    """Quantize one pyramid level and return its linearized planes."""
+    quants = [quantize_color_gradients(color)[0]]
+    if dual:
+        quants.append(quantize_normals(depth)[0])
+    return _planes_from_quant(quants, t, max_cells)
 
 
 @jax.jit
@@ -216,7 +215,6 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
     similarity descending.
     """
     cfg = state.cfg
-    # --- per-frame precomputation ---------------------------------------
     color1 = downsample2(color)
     depth1 = depth[::2, ::2]
     fine_planes = _planes_3d(
@@ -225,6 +223,29 @@ def match_templates(state: MatchState, color: jax.Array, depth: jax.Array):
     coarse_planes = _planes_3d(
         color1, depth1, cfg.t_coarse, state.max_cells_coarse, cfg.dual_modality
     )
+    return _match_with_planes(state, fine_planes, coarse_planes)
+
+
+@jax.jit
+def match_templates_quant(state: MatchState, quant0: jax.Array, quant1: jax.Array):
+    """Match from precomputed quantized-orientation maps (color-only mode).
+
+    quant0: [H, W] uint8 one-hot; quant1: [H/2, W/2] uint8 (the pyramid's
+    second level, quantized on the 2x2-average downsample). Used by the
+    host-quantize transport mode: on links where the host->device upload is
+    the frame-rate ceiling, the host (native/quantize.cpp, bit-identical to
+    ops/gradients.py) sends these 1-byte maps instead of the 3-byte color.
+    """
+    cfg = state.cfg
+    fine_planes = _planes_from_quant([quant0], cfg.t_fine, state.max_cells_fine)
+    coarse_planes = _planes_from_quant(
+        [quant1], cfg.t_coarse, state.max_cells_coarse
+    )
+    return _match_with_planes(state, fine_planes, coarse_planes)
+
+
+def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
+    cfg = state.cfg
     fine_flat = fine_planes.reshape(-1)
     coarse_flat = coarse_planes.reshape(-1)
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
-from ..ops.detect_core import detect_frame, detect_frame_dual
+from ..ops.detect_core import detect_frame, detect_frame_dual, detect_frame_quant
 from ..ops.matching import MatchConfig, MatchState, build_match_state
 from ..ops.postprocess import (
     color_check_host,
@@ -54,6 +54,7 @@ class PoseDetection:
         props: ModelProperties,
         mesh=None,
         icp=None,
+        host_quant: bool | None = None,
     ):
         self.bank = bank
         self.cam = cam
@@ -84,6 +85,24 @@ class PoseDetection:
         padded = _pad_bank(bank, cfg.template_chunk)
         self.state = build_match_state(padded, cfg)
         self._hull_masks: dict[int, np.ndarray] = {}  # per-template, lazy
+        # host-quantize transport mode: on remote-TPU links the per-frame
+        # upload is the rate ceiling, so quantize on the host (bit-identical
+        # C++, native/quantize.cpp) and send the two u8 orientation maps
+        # (384 KB) instead of the BGR frame (921 KB). The tradeoff is link
+        # bytes vs host CPU: auto-enable only when the host has cores to
+        # spare (the C++ quantizer is ~30 ms on 2 cores, ~4 ms on 16).
+        if host_quant is None:
+            import os
+
+            from ..utils import native
+
+            host_quant = (
+                not bank.dual_modality
+                and jax.default_backend() == "tpu"
+                and (os.cpu_count() or 1) >= 8
+                and native.available()
+            )
+        self.host_quant = host_quant and not bank.dual_modality
 
     # ------------------------------------------------------------------
     def recenter(self, img: np.ndarray) -> np.ndarray:
@@ -137,21 +156,38 @@ class PoseDetection:
                 jnp.asarray(color_c.astype(np.uint8)),
                 jnp.asarray(depth_c),
             )
+        elif self.host_quant:
+            from ..utils import native
+
+            q0, q1 = native.quantize_frame(color_c)
+            packed = detect_frame_quant(
+                self.state, jnp.asarray(q0), jnp.asarray(q1)
+            )
         else:
             packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))
         return packed, color_c, depth_c
 
-    def detect_stream(self, frames, num_objects: int = 1):
-        """Generator: detect over an iterable of (color, depth) with one
-        frame always in flight (double-buffered submits)."""
-        pending = None
-        for color, depth in frames:
-            handle = self.detect_submit(color, depth)
-            if pending is not None:
-                yield self.detect_collect(pending, num_objects)
-            pending = handle
-        if pending is not None:
-            yield self.detect_collect(pending, num_objects)
+    def detect_stream(self, frames, num_objects: int = 1, pipeline_depth: int = 2):
+        """Generator: detect over an iterable of (color, depth) with up to
+        `pipeline_depth` frames in flight.
+
+        Collection runs on a worker thread: the device fetch (HTTP wait) and
+        the host quantization (ctypes) both release the GIL, so frame k's
+        readback+postprocess overlaps frame k+1's quantize+upload — per-frame
+        cost approaches max(host work, link time, device time) instead of
+        their sum."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            futs: collections.deque = collections.deque()
+            for color, depth in frames:
+                handle = self.detect_submit(color, depth)
+                futs.append(ex.submit(self.detect_collect, handle, num_objects))
+                while len(futs) > pipeline_depth:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
 
     def detect_collect(
         self,

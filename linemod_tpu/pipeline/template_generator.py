@@ -19,7 +19,7 @@ from ..config import (
     load_model_properties,
 )
 from ..models.template_bank import TemplateBank, build_template_bank
-from ..utils.ply import load_ply
+from ..utils.mesh_io import load_mesh
 
 
 class TemplateGenerator:
@@ -51,7 +51,7 @@ class TemplateGenerator:
                 banks.append(TemplateBank.load(path))
                 continue
             t0 = time.time()
-            mesh = load_ply(os.path.join(self.settings.model_folder, model_file))
+            mesh = load_mesh(os.path.join(self.settings.model_folder, model_file))
             props = load_model_properties(
                 os.path.join(self.settings.model_folder, model_file)
             )

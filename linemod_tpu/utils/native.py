@@ -47,8 +47,34 @@ def _load():
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.linemod_loader_close.argtypes = [ctypes.c_void_p]
+    lib.linemod_quantize_frame.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
+
+
+def quantize_frame(color_bgr: np.ndarray):
+    """Host-side gradient quantization (native/quantize.cpp — bit-identical
+    to ops/gradients.py): returns (quant0 [H, W] u8, quant1 [H/2, W/2] u8)
+    one-hot orientation maps for both pyramid levels."""
+    lib = _load()
+    color_bgr = np.ascontiguousarray(color_bgr, np.uint8)
+    h, w = color_bgr.shape[:2]
+    q0 = np.empty((h, w), np.uint8)
+    q1 = np.empty((h // 2, w // 2), np.uint8)
+    lib.linemod_quantize_frame(
+        color_bgr.ctypes.data_as(ctypes.c_void_p),
+        w,
+        h,
+        q0.ctypes.data_as(ctypes.c_void_p),
+        q1.ctypes.data_as(ctypes.c_void_p),
+    )
+    return q0, q1
 
 
 def available() -> bool:

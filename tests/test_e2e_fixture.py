@@ -83,3 +83,25 @@ def test_fixture_top_matches_golden(fixture_pipeline):
     top = packed[valid][:8]
     golden = np.load(GOLDEN)["top_matches"]
     np.testing.assert_allclose(top, golden, atol=1e-4)
+
+
+def test_host_quant_transport_parity(fixture_pipeline):
+    """The host-quantize transport mode (C++ quantizer + quant-map upload)
+    must produce the exact same packed candidates as the on-device path —
+    native/quantize.cpp is bit-identical to ops/gradients.py."""
+    from linemod_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import jax.numpy as jnp
+
+    from linemod_tpu.ops.detect_core import detect_frame, detect_frame_quant
+
+    det, cam, color, depth = fixture_pipeline
+    color_c = det.recenter(np.ascontiguousarray(color))
+    q0, q1 = native.quantize_frame(color_c)
+    packed_q = np.asarray(detect_frame_quant(det.state, jnp.asarray(q0), jnp.asarray(q1)))
+    packed_d = np.asarray(detect_frame(det.state, jnp.asarray(color_c.astype(np.uint8))))
+    np.testing.assert_array_equal(packed_q, packed_d)
