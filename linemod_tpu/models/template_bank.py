@@ -261,11 +261,11 @@ def build_template_bank(
     # halves land in the persistent compile cache independently).
     @jax.jit
     def render_batch(rots, trans):
-        def one(rot, tr):
+        def one(rt):
             return render(
                 marr,
-                rot,
-                tr,
+                rt[0],
+                rt[1],
                 cam.fx,
                 cam.fy,
                 cam.width / 2.0,
@@ -276,17 +276,55 @@ def build_template_bank(
                 origin=(ox, oy),
             )
 
-        return jax.vmap(one)(rots, trans)
+        # sequential over views: keeps the renderer's band-culling lax.cond a
+        # real conditional (vmap would lower it to a select = no culling)
+        return jax.lax.map(one, (rots, trans))
 
     @jax.jit
     def extract_batch(colors, depths):
-        return jax.vmap(
+        feats = jax.vmap(
             lambda c, d: extract_template(c, d, dual_modality=dual)
         )(colors, depths)
 
+        # per-view feature bbox + ~p20 bbox depth ON DEVICE: the host then
+        # fetches ~25 KB of features/scalars per call instead of the 4 MB
+        # depth batch (the device->host link is the generation-time
+        # bottleneck on remote TPU transports)
+        def stats_one(f, d):
+            big = jnp.int32(10**9)
+
+            def ext(key, scale):
+                x, y, _, v = f[key]
+                return (
+                    jnp.where(v, x * scale, big).min(),
+                    jnp.where(v, x * scale, -big).max(),
+                    jnp.where(v, y * scale, big).min(),
+                    jnp.where(v, y * scale, -big).max(),
+                )
+
+            keys = [("grad0", 1), ("grad1", 2)]
+            if dual:
+                keys += [("norm0", 1)]
+            es = [ext(k, s) for k, s in keys]
+            x_min = jnp.min(jnp.stack([e[0] for e in es]))
+            x_max = jnp.max(jnp.stack([e[1] for e in es]))
+            y_min = jnp.min(jnp.stack([e[2] for e in es]))
+            y_max = jnp.max(jnp.stack([e[3] for e in es]))
+
+            yy = jnp.arange(d.shape[0], dtype=jnp.int32)[:, None]
+            xx = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+            in_bb = (xx >= x_min) & (xx <= x_max) & (yy >= y_min) & (yy <= y_max)
+            vals = jnp.where(in_bb, jnp.where(d > 0, d, BG_DEPTH), jnp.inf)
+            k = ((x_max - x_min + 1) * (y_max - y_min + 1)) // 5
+            p20 = jnp.take(jnp.sort(vals.ravel()), k)  # exact k-th smallest
+            return p20
+
+        p20s = jax.vmap(stats_one)(feats, depths)
+        return feats, p20s
+
     def render_and_extract(rots, trans):
         depths, colors = render_batch(rots, trans)
-        return extract_batch(colors * 255.0, depths), depths
+        return extract_batch(colors * 255.0, depths)
 
     # The reference's in-plane pose angle is the negated warp angle
     # (src/HighLevelLinemod.cpp:105); enumerate the same set.
@@ -296,6 +334,26 @@ def build_template_bank(
                                "nvalid0", "nfeat1", "nvalid1", "bbox", "quat",
                                "z", "median_depth", "hull")}
     total = 0
+
+    def collect(pending):
+        nonlocal total
+        quats, radius, feats, p20s = pending
+        f = {k: tuple(np.asarray(a) for a in v) for k, v in feats.items()}
+        p20s = np.asarray(p20s)
+        for i in range(len(quats)):
+            rec = _assemble_template(f, p20s, i, ox, oy, dual)
+            if rec is None:
+                continue
+            for k, v in rec.items():
+                records[k].append(v)
+            records["quat"].append(quats[i].astype(np.float32))
+            records["z"].append(np.float32(radius))
+            total += 1
+
+    # batch one viewpoint's in-plane rotations per device call (bounded
+    # intermediates, executable compiled once) and keep one call in flight:
+    # viewpoint j+1 renders while viewpoint j's ~25 KB of features downloads
+    pending = None
     for radius in settings.radii:
         vps = camera_view_points(
             float(radius),
@@ -303,28 +361,19 @@ def build_template_bank(
             props.rotationally_symmetrical,
             props.planes_of_symmetry,
         )
-        # batch one viewpoint's in-plane rotations per device call: keeps the
-        # vmapped render/extract intermediates bounded (~tens of MB) while the
-        # executable is compiled once and reused for every viewpoint/radius
         for vp in vps:
             quats = np.array([template_view_pose(vp, a) for a in angles], np.float64)
             rots = np.array([quat_to_mat(q) for q in quats], np.float32)
             trans = np.tile(
                 np.array([[0.0, 0.0, float(radius)]], np.float32), (len(rots), 1)
             )
-            feats, depths = render_and_extract(jnp.asarray(rots), jnp.asarray(trans))
-            depths = np.asarray(depths)
-            f = {k: tuple(np.asarray(a) for a in v) for k, v in feats.items()}
-
-            for i in range(len(rots)):
-                rec = _assemble_template(f, depths, i, ox, oy, dual)
-                if rec is None:
-                    continue
-                for k, v in rec.items():
-                    records[k].append(v)
-                records["quat"].append(quats[i].astype(np.float32))
-                records["z"].append(np.float32(radius))
-                total += 1
+            feats, p20s = render_and_extract(jnp.asarray(rots), jnp.asarray(trans))
+            if pending is not None:
+                collect(pending)
+            pending = (quats, radius, feats, p20s)
+        if pending is not None:
+            collect(pending)
+            pending = None
         if progress is not None:
             progress(float(radius), total)
 
@@ -350,7 +399,7 @@ def build_template_bank(
     )
 
 
-def _assemble_template(f, depths, i, ox, oy, dual):
+def _assemble_template(f, p20s, i, ox, oy, dual):
     """Combine per-level features of view i into one bank record.
 
     Coordinates: crop -> full template-image frame (+ox, +oy); features are
@@ -399,9 +448,7 @@ def _assemble_template(f, depths, i, ox, oy, dual):
     rec["bbox"] = np.array(
         [x_min + int(ox), y_min + int(oy), bbox_crop[2], bbox_crop[3]], np.int32
     )
-    rec["median_depth"] = np.float32(
-        _percentile20_with_bg(depths[i], bbox_crop)
-    )
+    rec["median_depth"] = np.float32(p20s[i])  # computed on device
     pts = np.stack([gx0[gv0] - x_min, gy0[gv0] - y_min], axis=1).astype(np.float32)
     rec["hull"] = _pad_hull(_convex_hull(pts))
     return rec

@@ -57,16 +57,17 @@ def mesh_to_arrays(mesh, pad_faces_to: int = 512) -> MeshArrays:
     )
 
 
-def _face_functionals(p_cam: jax.Array, faces: jax.Array):
+def _face_functionals(p_cam: jax.Array, faces: jax.Array, fy, cy):
     """Linear functionals per face from camera-space vertices.
 
-    Returns (M [F, 3, 3], det [F], valid [F]): rows of M are the edge
-    cofactors c_i = cross(p_j, p_k). For a pixel ray q = ((u-cx)/fx,
-    (v-cy)/fy, 1), lambda_i = c_i . q are (up to the common factor det) the
-    *3-D* barycentric weights of the ray/triangle intersection, so
-    inside = all lambda_i agree in sign with det, depth = det / sum(lambda),
-    and attributes interpolate perspective-correctly as
-    sum_i (lambda_i/sum) a_i.
+    Returns (M [F, 3, 3], det [F], valid [F], zlo/zhi [F], vlo/vhi [F]):
+    rows of M are the edge cofactors c_i = cross(p_j, p_k), pre-scaled by
+    sign(det). For a pixel ray q = ((u-cx)/fx, (v-cy)/fy, 1), lambda_i =
+    c_i . q are (up to the common factor det) the *3-D* barycentric weights
+    of the ray/triangle intersection, so inside = all lambda_i >= 0 (after
+    the sign fold), depth = |det| / sum(lambda), and attributes interpolate
+    perspective-correctly as sum_i (lambda_i/sum) a_i. vlo/vhi are the
+    face's projected row range (image pixels) for band culling.
     """
     tri = p_cam[faces]  # [F, 3, 3]
     p0, p1, p2 = tri[:, 0], tri[:, 1], tri[:, 2]
@@ -82,8 +83,22 @@ def _face_functionals(p_cam: jax.Array, faces: jax.Array):
         & jnp.all(z > NEAR_MM, axis=-1)
         & jnp.all(z < FAR_MM, axis=-1)
     )
-    m = jnp.stack([c0, c1, c2], axis=1)  # [F, 3, 3]
-    return m, det, valid, jnp.min(z, axis=-1), jnp.max(z, axis=-1)
+    # fold sign(det) into the functionals: lambda = e directly, and
+    # z = |det| / sum(e) is unchanged (both scale by the same sign)
+    s = jnp.sign(det)[:, None, None]
+    m = jnp.stack([c0, c1, c2], axis=1) * s  # [F, 3, 3]
+    vs = fy * tri[:, :, 1] / z + cy  # projected pixel rows of the 3 verts
+    vlo = jnp.where(valid, jnp.min(vs, axis=-1), jnp.inf)
+    vhi = jnp.where(valid, jnp.max(vs, axis=-1), -jnp.inf)
+    return (
+        m,
+        jnp.abs(det),
+        valid,
+        jnp.min(z, axis=-1),
+        jnp.max(z, axis=-1),
+        vlo,
+        vhi,
+    )
 
 
 @functools.partial(
@@ -115,16 +130,35 @@ def render(
     """
     assert height % band_rows == 0, "height must be a multiple of band_rows"
     p_cam = mesh.vertices @ rotation.T + translation  # [V, 3]
-    m, det, valid, zlo, zhi = _face_functionals(p_cam, mesh.faces)
+    m, det, valid, zlo, zhi, vlo, vhi = _face_functionals(
+        p_cam, mesh.faces, fy, cy
+    )
     nfaces = mesh.faces.shape[0]
     nblocks = nfaces // face_block
+    # Sort faces by projected row so blocks have coherent row ranges; the
+    # per-band face scan can then SKIP whole blocks via lax.cond (an XLA
+    # conditional executes one branch when not batched, so callers that want
+    # the culling win must map over views with lax.map, not vmap). A face
+    # keeps its original id through `order` for the color pass.
+    order = jnp.argsort(jnp.where(valid, vlo, jnp.inf)).astype(jnp.int32)
+    m = m[order]
+    det = det[order]
+    valid = valid[order]
+    zlo = zlo[order]
+    zhi = zhi[order]
+    vlo = vlo[order]
+    vhi = vhi[order]
+    blk_vlo = jnp.min(vlo.reshape(nblocks, face_block), axis=1)
+    blk_vhi = jnp.max(vhi.reshape(nblocks, face_block), axis=1)
     fblocks = (
         m.reshape(nblocks, face_block, 3, 3),
         det.reshape(nblocks, face_block),
         valid.reshape(nblocks, face_block),
         zlo.reshape(nblocks, face_block),
         zhi.reshape(nblocks, face_block),
-        jnp.arange(nblocks, dtype=jnp.int32) * face_block,
+        order.reshape(nblocks, face_block),
+        blk_vlo,
+        blk_vhi,
     )
 
     ox = jnp.asarray(origin[0], jnp.float32)
@@ -135,53 +169,62 @@ def render(
     big = jnp.float32(jnp.inf)
 
     def face_step(carry, blk):
-        zmin, fid, q = carry
-        mb, db, vb, zlo_b, zhi_b, off = blk
-        # K=3 contraction: full f32 precision is essentially free here and the
-        # TPU default (bf16 passes) costs ~0.3% depth error, which would break
-        # the mm-level depth gates downstream.
-        e = jnp.dot(
-            q, mb.reshape(-1, 3).T, precision=jax.lax.Precision.HIGHEST
-        )  # [band_px, 3B]  (MXU)
-        e = e.reshape(band_px, face_block, 3)
-        lam = e * jnp.sign(db)[None, :, None]
-        # Inclusive fill rule: a pixel exactly on a shared edge (lambda == 0)
-        # belongs to both triangles — the edge cofactors of the two triangles
-        # are exact fp negations of each other, so this closes single-pixel
-        # cracks without any epsilon band (an epsilon proportional to the
-        # lambda scale creates false-positive wedges along edge extensions).
-        lam_ok = jnp.all(lam >= 0.0, axis=-1)
-        inside = lam_ok & vb[None, :]
-        den = e[..., 0] + e[..., 1] + e[..., 2]
-        z = db[None, :] / jnp.where(den == 0.0, 1.0, den)
-        # Clamp to the triangle's own z-range: any true interior point lies
-        # within it, so this kills sliver-triangle artifacts from fp noise.
-        z_ok = (z >= zlo_b[None, :] - 1.0) & (z <= zhi_b[None, :] + 1.0)
-        z = jnp.where(inside & z_ok, z, big)
-        bmin = jnp.min(z, axis=1)
-        barg = jnp.argmin(z, axis=1).astype(jnp.int32)
-        take = bmin < zmin
-        return (
-            jnp.where(take, bmin, zmin),
-            jnp.where(take, barg + off, fid),
-            q,
-        ), None
+        mb, db, vb, zlo_b, zhi_b, idsb, bvlo, bvhi = blk
+
+        def work(c):
+            zmin, fid, q = c
+            # K=3 contraction: full f32 precision is essentially free here and
+            # the TPU default (bf16 passes) costs ~0.3% depth error, which
+            # would break the mm-level depth gates downstream.
+            e = jnp.dot(
+                q, mb.reshape(-1, 3).T, precision=jax.lax.Precision.HIGHEST
+            )  # [band_px, 3B]  (MXU)
+            e = e.reshape(band_px, face_block, 3)
+            # Inclusive fill rule: a pixel exactly on a shared edge
+            # (lambda == 0) belongs to both triangles — the edge cofactors of
+            # the two triangles are exact fp negations of each other, so this
+            # closes single-pixel cracks without any epsilon band (an epsilon
+            # proportional to the lambda scale creates false-positive wedges
+            # along edge extensions). sign(det) is folded into the
+            # functionals, so lambda = e directly.
+            lam_ok = jnp.all(e >= 0.0, axis=-1)
+            inside = lam_ok & vb[None, :]
+            den = e[..., 0] + e[..., 1] + e[..., 2]
+            z = db[None, :] / jnp.where(den == 0.0, 1.0, den)
+            # Clamp to the triangle's own z-range: any true interior point
+            # lies within it, so this kills sliver-triangle fp artifacts.
+            z_ok = (z >= zlo_b[None, :] - 1.0) & (z <= zhi_b[None, :] + 1.0)
+            z = jnp.where(inside & z_ok, z, big)
+            bmin = jnp.min(z, axis=1)
+            barg = jnp.argmin(z, axis=1).astype(jnp.int32)
+            take = bmin < zmin
+            return (
+                jnp.where(take, bmin, zmin),
+                jnp.where(take, idsb[barg], fid),
+                q,
+            )
+
+        # skip blocks whose projected row range misses this band entirely
+        # (faces are row-sorted, so most blocks miss most bands)
+        band_v0 = carry[3]
+        overlap = (bvlo <= band_v0 + band_rows) & (bvhi >= band_v0 - 1.0)
+        zmin, fid, q = jax.lax.cond(
+            overlap, work, lambda c: c, (carry[0], carry[1], carry[2])
+        )
+        return (zmin, fid, q, band_v0), None
 
     def band_step(_, band_idx):
-        v = (
-            jnp.arange(band_rows, dtype=jnp.float32)
-            + band_idx * band_rows
-            + oy
-            - cy
-        ) / fy
+        v_img = jnp.arange(band_rows, dtype=jnp.float32) + band_idx * band_rows + oy
+        v = (v_img - cy) / fy
         uu, vv = jnp.meshgrid(u, v)  # [band_rows, W]
         q = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1).reshape(band_px, 3)
         init = (
             jnp.full((band_px,), big, jnp.float32),
             jnp.full((band_px,), -1, jnp.int32),
             q,
+            band_idx * band_rows + oy,  # first image row of the band
         )
-        (zmin, fid, _), _ = jax.lax.scan(face_step, init, fblocks)
+        (zmin, fid, _, _), _ = jax.lax.scan(face_step, init, fblocks)
         if not with_color:
             return None, (zmin, fid)
         # perspective-correct vertex color of the winning face (banded, so the
@@ -233,6 +276,12 @@ def render_views(mesh: MeshArrays, rotations, translations, cam, *, with_color=F
         height=cam.height,
         with_color=with_color,
     )
-    return jax.vmap(f)(
-        jnp.asarray(rotations, jnp.float32), jnp.asarray(translations, jnp.float32)
+    # lax.map (sequential), NOT vmap: batching would turn the renderer's
+    # band-culling lax.cond into a select and evaluate every face block
+    return jax.lax.map(
+        lambda rt: f(rt[0], rt[1]),
+        (
+            jnp.asarray(rotations, jnp.float32),
+            jnp.asarray(translations, jnp.float32),
+        ),
     )
