@@ -201,9 +201,12 @@ def cmd_evaluate(args):
     det = PoseDetection(bank, cam, settings, props)
     bench = Benchmark(mesh, cam)
     # rot-sym-aware metric selection: symmetric objects are scored with the
-    # ambiguous (closest-vertex) variant, like calculateErrorLMAmbigous
+    # ambiguous (closest-vertex) variant, like calculateErrorLMAmbigous.
+    # A zero entry in planes_of_symmetry means NO symmetry about that plane
+    # (prune_by_symmetry keeps everything for zeros), so only nonzero entries
+    # select ADD-S.
     use_adds = props.rotationally_symmetrical or any(
-        s == 0.0 for s in props.planes_of_symmetry
+        s != 0.0 for s in props.planes_of_symmetry
     )
     if args.diameter is not None:
         diameter = args.diameter

@@ -226,20 +226,6 @@ def _pad_hull(hull: np.ndarray) -> np.ndarray:
     return h
 
 
-def _percentile20_with_bg(depth: np.ndarray, bbox) -> float:
-    """medianMat equivalent: ~p20 over the bbox with background as 65535.
-
-    The reference partial-sorts at size/4 and indexes size/5
-    (src/HighLevelLinemod.cpp:336-349) — an unspecified element <= p25; we
-    take the exact 20th percentile (documented deviation, SURVEY §7).
-    """
-    x, y, w, h = (int(v) for v in bbox)
-    crop = depth[y : y + h, x : x + w]
-    vals = np.where(crop > 0, crop, BG_DEPTH).ravel()
-    k = len(vals) // 5
-    return float(np.partition(vals, k)[k]) if len(vals) else BG_DEPTH
-
-
 def build_template_bank(
     mesh,
     class_id: str,

@@ -53,10 +53,10 @@ class MatchConfig:
     template_chunk: int = 256
     use_pallas: bool = False  # VMEM-resident Pallas coarse scan (TPU only)
     # TPU-optimized approximate top-k for the coarse candidate cut
-    # (recall 0.99 of the true top-K; misses land in the low-similarity tail,
-    # far below the detector threshold). Both scan paths honor it, so the
-    # Pallas/gather parity is unaffected.
-    approx_topk: bool = True
+    # (lax.approx_max_k, recall target 0.99). Off by default — the reference's
+    # candidate cut is exact; opt in only where a real-TPU test has verified
+    # the above-threshold match set is unchanged (tests/test_tpu_hw.py).
+    approx_topk: bool = False
 
 
 @functools.partial(
@@ -301,22 +301,32 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
     cand_gy = cand_g // cw
     cand_gx = cand_g % cw
 
-    # --- fine: refine each candidate over the 8x8 sub-cell window --------
-    scale = (2 * cfg.t_coarse) // cfg.t_fine  # sub-cells per coarse cell
-    if cfg.use_pallas and not cfg.dual_modality and scale == 8:
+    # --- fine: refine each candidate over the sub-cell window ------------
+    # One coarse cell spans 2*t_coarse level-0 px = (2*t_coarse)/t_fine fine
+    # cells — 8 exactly in color-only mode (16/2), 3.2 in dual mode (16/5).
+    # The window origin is therefore the *exact* fine-grid cell of the coarse
+    # cell's level-0 position, (gx*2*t_coarse)//t_fine (NOT gx*(16//5), which
+    # drifts ~1 px per coarse-cell index), and the window spans
+    # ceil(2*t_coarse/t_fine) cells so every level-0 position inside the
+    # coarse cell is reachable.
+    span = 2 * cfg.t_coarse  # level-0 px per coarse cell
+    win = -(-span // cfg.t_fine)  # sub-cells per window (ceil)
+    base_gy = (cand_gy * span) // cfg.t_fine
+    base_gx = (cand_gx * span) // cfg.t_fine
+    if cfg.use_pallas and not cfg.dual_modality and win == 8:
         from .similarity_pallas import fine_scores_pallas
 
-        base_yx = jnp.stack([cand_gy * scale, cand_gx * scale], axis=1)
+        base_yx = jnp.stack([base_gy, base_gx], axis=1)
         tiles_f = fine_scores_pallas(
             fine_planes, state.off3_fine, cand_t, base_yx
         )
-        fine_scores = tiles_f[:, :scale, :scale].reshape(-1, scale * scale)
+        fine_scores = tiles_f[:, :win, :win].reshape(-1, win * win)
     else:
         sub = (
-            jnp.arange(scale, dtype=jnp.int32)[:, None] * stride_f
-            + jnp.arange(scale, dtype=jnp.int32)[None, :]
-        ).reshape(-1)  # [scale^2]
-        base = (cand_gy * scale) * stride_f + cand_gx * scale  # [K]
+            jnp.arange(win, dtype=jnp.int32)[:, None] * stride_f
+            + jnp.arange(win, dtype=jnp.int32)[None, :]
+        ).reshape(-1)  # [win^2]
+        base = base_gy * stride_f + base_gx  # [K]
         pos = base[:, None] + sub[None, :]  # [K, S]
         offs = state.off_fine[cand_t]  # [K, F]
         idx = offs[:, :, None] + pos[:, None, :]
@@ -328,10 +338,10 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
         * 100.0
         / (MAX_RESPONSE * state.nf_fine[cand_t].astype(jnp.float32))
     )
-    dy = best // scale
-    dx = best % scale
-    x = (cand_gx * scale + dx) * cfg.t_fine
-    y = (cand_gy * scale + dy) * cfg.t_fine
+    dy = best // win
+    dx = best % win
+    x = (base_gx + dx) * cfg.t_fine
+    y = (base_gy + dy) * cfg.t_fine
 
     valid = (sim >= cfg.threshold) & (top_sim > 0)
     order = jnp.argsort(-jnp.where(valid, sim, -1.0))

@@ -28,7 +28,13 @@ def initialize_distributed(
     everything automatically; elsewhere set JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID). Safe to call once per process, before
     any backend use. No-op when already initialized or single-process."""
-    if jax.process_count() > 1:
+    # Detect prior initialization WITHOUT touching a backend-initializing API:
+    # jax.process_count() would initialize the local XLA backend, after which
+    # jax.distributed.initialize raises. The distributed client handle is the
+    # authoritative "already initialized" signal.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"

@@ -24,12 +24,12 @@ import numpy as np
 from ..config import CameraParameters, ModelProperties, TemplateSettings
 from ..models.template_bank import TemplateBank, concat_banks
 from ..ops.detect_core import detect_frame, detect_frame_dual
-from ..ops.matching import MatchConfig, build_match_state
+from ..ops.matching import build_match_state
 from .pose_detection import (
     DetectionDebug,
     PoseDetection,
     _pad_bank,
-    _pad_chunk,
+    make_match_config,
     postprocess_matches,
 )
 
@@ -81,23 +81,14 @@ class MultiModelPoseDetection:
         combined, offsets = concat_banks([banks[c] for c in self.class_ids])
         self.offsets = offsets  # first global tid per class
         self.sizes = np.array([banks[c].num_templates for c in self.class_ids])
-        import jax
-
-        t_coarse = 8
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and (cam.height // 2) // t_coarse <= 32
-            and (cam.width // 2) // t_coarse <= 128
-        )
-        cfg = MatchConfig(
-            width=cam.width,
-            height=cam.height,
-            t_fine=5 if combined.dual_modality else 2,
-            t_coarse=t_coarse,
-            threshold=settings.detector_threshold,
-            dual_modality=combined.dual_modality,
-            template_chunk=min(256, _pad_chunk(combined.num_templates)),
-            use_pallas=use_pallas,
+        # top_k scales with the class count (make_match_config) so one
+        # dominant class can't crowd every candidate slot of the shared cut.
+        cfg = make_match_config(
+            cam,
+            settings,
+            combined.dual_modality,
+            combined.num_templates,
+            n_classes=len(self.class_ids),
         )
         self.dual = combined.dual_modality
         self.state = build_match_state(_pad_bank(combined, cfg.template_chunk), cfg)

@@ -39,6 +39,46 @@ class DetectionDebug:
     checks: list = dataclasses.field(default_factory=list)
 
 
+def make_match_config(
+    cam: CameraParameters,
+    settings: TemplateSettings,
+    dual_modality: bool,
+    n_templates: int,
+    n_classes: int = 1,
+) -> MatchConfig:
+    """Production MatchConfig shared by the single- and multi-model
+    orchestrators.
+
+    - Pallas VMEM-resident coarse scan on TPU when the coarse grid fits one
+      (32 x 128) tile (640x480 at T=8 is 30 x 40).
+    - top_k scales with the class count so classes in a super-bank can't
+      starve each other of candidate slots (the reference matches each class
+      with its own unbounded match list, src/HighLevelLinemod.cpp:145-164).
+    - approx_topk only on TPU, where tests/test_tpu_hw.py verifies the
+      above-threshold match set is identical to the exact cut.
+    """
+    import jax
+
+    t_coarse = 8
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and (cam.height // 2) // t_coarse <= 32
+        and (cam.width // 2) // t_coarse <= 128
+    )
+    return MatchConfig(
+        width=cam.width,
+        height=cam.height,
+        t_fine=5 if dual_modality else 2,
+        t_coarse=t_coarse,
+        top_k=512 * n_classes,
+        threshold=settings.detector_threshold,
+        dual_modality=dual_modality,
+        template_chunk=min(256, _pad_chunk(n_templates)),
+        use_pallas=use_pallas,
+        approx_topk=use_pallas,
+    )
+
+
 class PoseDetection:
     """Holds one model class's bank + jitted matcher state.
 
@@ -62,26 +102,7 @@ class PoseDetection:
         self.props = props
         self.mesh = mesh
         self.icp = icp  # optional IcpRefiner (pipeline wiring in detect())
-        t_coarse = 8
-        # VMEM-resident Pallas coarse scan: TPU backend, grid within one
-        # (32 x 128) tile (640x480 at T=8 is 30 x 40)
-        import jax
-
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and (cam.height // 2) // t_coarse <= 32
-            and (cam.width // 2) // t_coarse <= 128
-        )
-        cfg = MatchConfig(
-            width=cam.width,
-            height=cam.height,
-            t_fine=5 if bank.dual_modality else 2,
-            t_coarse=t_coarse,
-            threshold=settings.detector_threshold,
-            dual_modality=bank.dual_modality,
-            template_chunk=min(256, _pad_chunk(bank.num_templates)),
-            use_pallas=use_pallas,
-        )
+        cfg = make_match_config(cam, settings, bank.dual_modality, bank.num_templates)
         padded = _pad_bank(bank, cfg.template_chunk)
         self.state = build_match_state(padded, cfg)
         self._hull_masks: dict[int, np.ndarray] = {}  # per-template, lazy
@@ -93,6 +114,8 @@ class PoseDetection:
         # spare (the C++ quantizer is ~30 ms on 2 cores, ~4 ms on 16).
         if host_quant is None:
             import os
+
+            import jax
 
             from ..utils import native
 

@@ -56,3 +56,73 @@ class TestDualModality:
         p = poses[0]
         assert abs(p.translation[2] - 600) < 25
         assert abs(p.translation[0]) < 15 and abs(p.translation[1]) < 15
+
+    def test_dual_detect_off_centre(self, dual_setup):
+        """Off-centre objects must match as well as centred ones.
+
+        Regression for the coarse->fine window mapping: with t_fine=5 one
+        coarse cell spans 3.2 fine cells, so the window origin must be the
+        exact fine-grid cell (gx*2*t_coarse)//t_fine — the old gx*scale
+        mapping drifted ~1 px per coarse-cell index (~26 px at gx=26), which
+        only off-centre objects exposed."""
+        cam, settings, props, mesh, bank = dual_setup
+        det = PoseDetection(bank, cam, settings, props)
+        t = 4
+        rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+        marr = mesh_to_arrays(mesh)
+        for ox, oy in [(0.0, 0.0), (170.0, 90.0), (-160.0, -80.0)]:
+            depth, color = render_views(
+                marr, rot[None], np.array([[ox, oy, 600.0]], np.float32),
+                cam, with_color=True,
+            )
+            handle = det.detect_submit(
+                (np.asarray(color)[0] * 255).astype(np.uint8),
+                np.asarray(depth)[0].astype(np.uint16),
+            )
+            packed = np.asarray(handle[0])
+            valid = packed[:, 4] > 0.5
+            assert valid.any(), f"no match at offset ({ox}, {oy})"
+            # well above threshold everywhere (the residual few points vs the
+            # perfect centred 100 are rasterization pixel-phase noise — the
+            # color-only path drops further on the same frames)
+            assert float(packed[valid, 3].max()) > 85.0
+            poses = det.detect_collect(handle, 1)
+            assert len(poses) == 1
+            p = poses[0]
+            assert abs(p.translation[0] - ox) < 20
+            assert abs(p.translation[1] - oy) < 20
+            assert abs(p.translation[2] - 600) < 30
+
+    def test_fine_window_mapping_exact_under_translation(self, dual_setup):
+        """A pure image translation by multiples of t_fine must keep the fine
+        similarity exactly at its centred value (100): the level-0 content
+        under the features is bit-identical, so any drop can only come from a
+        wrong coarse->fine window origin. dx=85, dy=45 are multiples of
+        t_fine=5 but NOT of the 16-px coarse cell, so this catches the
+        gx*scale drift the round-2 review found."""
+        cam, settings, props, mesh, bank = dual_setup
+        det = PoseDetection(bank, cam, settings, props)
+        t = 4
+        rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+        depth, color = render_views(
+            mesh_to_arrays(mesh), rot[None], np.array([[0, 0, 600.0]], np.float32),
+            cam, with_color=True,
+        )
+        color0 = (np.asarray(color)[0] * 255).astype(np.uint8)
+        depth0 = np.asarray(depth)[0].astype(np.uint16)
+
+        def best(colour, dep):
+            packed = np.asarray(det.detect_submit(colour, dep)[0])
+            valid = packed[:, 4] > 0.5
+            assert valid.any()
+            i = np.argmax(np.where(valid, packed[:, 3], -1))
+            return packed[i, 3], packed[i, 1], packed[i, 2]
+
+        sim0, x0, y0 = best(color0, depth0)
+        for dx, dy in [(85, 45), (165, 0), (0, 125), (-90, -35)]:
+            sim, x, y = best(
+                np.roll(color0, (dy, dx), axis=(0, 1)),
+                np.roll(depth0, (dy, dx), axis=(0, 1)),
+            )
+            assert sim >= sim0 - 1e-3, f"shift ({dx},{dy}): sim {sim} vs {sim0}"
+            assert (x - x0, y - y0) == (dx, dy)

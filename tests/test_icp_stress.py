@@ -97,3 +97,35 @@ def test_icp_converges_from_distance_step_error(fixture_scene, dz, deg):
     )
     mean_diff = float(verify_mean_depth_diff(jnp.asarray(depth), rendered))
     assert mean_diff <= 35.0
+
+
+def test_icp_parameters_wired(fixture_scene):
+    """iterations / tolerance / rejection_scale reach the kernel (the
+    reference takes them in the ICP ctor, src/HighLevelLinemodIcp.cpp:3-15;
+    round-2 review: ours were hardcoded and silently ignored)."""
+    cam, mesh, marr, gt_rot, gt_t, depth = fixture_scene
+    pert = rotation_about_axis([0.3, 1.0, 0.2], np.radians(15.0)).astype(np.float32)
+    init = ObjectPose(
+        translation=(gt_t + np.array([5.0, -5.0, 50.0])).astype(np.float64),
+        quaternion=mat_to_quat(pert @ gt_rot),
+        bounding_box=(220, 180, 200, 160),
+    )
+
+    def refined(**kw):
+        return IcpRefiner(mesh, cam, 2, mesh_arrays=marr, **kw).refine(depth, [init])[0]
+
+    # iterations respected: different iteration counts yield different poses
+    two = refined(iterations=2, tolerance=0.0)
+    full = refined(iterations=16, tolerance=0.0)
+    assert not np.allclose(full.translation, two.translation, atol=1e-3)
+    # an always-true tolerance freezes the pose after the second update
+    frozen = refined(iterations=16, tolerance=1e9)
+    assert np.allclose(frozen.translation, two.translation, atol=1e-3)
+    # a near-zero rejection scale rejects every correspondence -> no motion
+    still = refined(iterations=8, tolerance=0.0, rejection_scale=1e-6)
+    assert np.allclose(still.translation, np.asarray(init.translation), atol=1e-3)
+    # the reference's own tolerance (0.1, src/PoseDetection.cpp:10) still
+    # converges to the stress test's bar
+    ref_tol = refined(iterations=16, tolerance=0.1)
+    dt, adds = _pose_error(ref_tol, gt_rot, gt_t, mesh)
+    assert dt < 10.0 and adds < 10.0
