@@ -33,9 +33,7 @@ from .normals import quantize_normals
 from .spread import (
     feature_flat_offsets,
     linear_plane_shape,
-    linearize,
-    response_maps,
-    spread_orientations,
+    linearized_response_planes,
 )
 
 MAX_RESPONSE = 4
@@ -52,6 +50,14 @@ class MatchConfig:
     dual_modality: bool = False
     template_chunk: int = 256
     use_pallas: bool = False  # VMEM-resident Pallas coarse scan (TPU only)
+    # MXU coarse engine: the dense scan as one int8 im2col matmul
+    # scores[t, g] = W[t] . patches[:, g], with W[t] the one-hot feature
+    # indicator over (plane, cell-shift) and patches the planes under every
+    # shift. ~2x faster than the Pallas scan at 2048 templates on v5e and the
+    # clear winner at large banks (the MXU does 161 GOP of int8 in ~0.2 ms;
+    # HBM W reads bound it). Takes precedence over use_pallas for the coarse
+    # level; the fine refine keeps its own path.
+    use_mxu: bool = False
     # TPU-optimized approximate top-k for the coarse candidate cut
     # (lax.approx_max_k, recall target 0.99). Off by default — the reference's
     # candidate cut is exact; opt in only where a real-TPU test has verified
@@ -62,7 +68,7 @@ class MatchConfig:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
-                 "off3_coarse", "off3_fine"],
+                 "off3_coarse", "off3_fine", "w_coarse"],
     meta_fields=["cfg", "n_templates", "fine_shape", "coarse_shape",
                  "max_cells_fine", "max_cells_coarse"],
 )
@@ -80,6 +86,9 @@ class MatchState:
     lim_coarse: jax.Array  # [N, 2] int32 (gy_lim, gx_lim) valid cell bounds
     off3_coarse: jax.Array  # [N, F, 3] int32 (plane, sy, sx) for the Pallas path
     off3_fine: jax.Array  # [N, F, 3] int32 fine-level triplets (Pallas fine refine)
+    # [N, P*S*S] int8 one-hot feature indicator for the MXU engine (None
+    # unless cfg.use_mxu); S = max_cells_coarse
+    w_coarse: jax.Array | None
     fine_shape: tuple  # (ch, cw, rows, stride)
     coarse_shape: tuple
     max_cells_fine: int
@@ -160,6 +169,20 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
     # used only in color-only mode, where the planes fit VMEM and SCALE == 8)
     off3_f = feature_plane_triplets(bank.feat0, bank.valid0, cfg.t_fine, n_mods * n_planes_f)
 
+    # MXU engine weights: one-hot indicator over (plane, sy, sx), built by a
+    # device-side scatter so only the compact off3 table crosses the link
+    w_coarse = None
+    if cfg.use_mxu:
+        s = mc_coarse
+        p_tot = n_mods * n_planes_c
+        flat = (off3[:, :, 0].astype(np.int64) * s + off3[:, :, 1]) * s + off3[:, :, 2]
+        valid = off3[:, :, 0] < p_tot  # invalid features point at the zero plane
+        w_coarse = (
+            jnp.zeros((n, p_tot * s * s), jnp.int8)
+            .at[jnp.arange(n)[:, None], jnp.asarray(np.where(valid, flat, 0))]
+            .add(jnp.asarray(np.where(valid, 1, 0).astype(np.int8)))
+        )
+
     return MatchState(
         cfg=cfg,
         n_templates=n,
@@ -172,6 +195,7 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
         ),
         off3_coarse=jnp.asarray(off3),
         off3_fine=jnp.asarray(off3_f),
+        w_coarse=w_coarse,
         fine_shape=fine,
         coarse_shape=coarse,
         max_cells_fine=mc_fine,
@@ -188,9 +212,9 @@ def _planes_from_quant(quants, t, max_cells):
     wp = w - w % t
     _, _, rows, stride = linear_plane_shape(hp, wp, t, max_cells)
     planes = [
-        linearize(
-            response_maps(spread_orientations(q[:hp, :wp], t)), t, max_cells
-        ).reshape(-1, rows, stride)
+        linearized_response_planes(q[:hp, :wp], t, max_cells).reshape(
+            -1, rows, stride
+        )
         for q in quants
     ]
     planes.append(jnp.zeros((1, rows, stride), jnp.uint8))
@@ -244,21 +268,44 @@ def match_templates_quant(state: MatchState, quant0: jax.Array, quant1: jax.Arra
     return _match_with_planes(state, fine_planes, coarse_planes)
 
 
-def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
+def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
+    """Dense masked coarse similarity of every template at every grid cell.
+
+    Returns [N, G] f32 percent similarity, -1 where the template does not fit
+    the image at that cell. N is the state's (possibly shard-local) template
+    count. Engine per cfg: MXU im2col matmul / Pallas VMEM scan / XLA gather.
+    """
     cfg = state.cfg
-    fine_flat = fine_planes.reshape(-1)
     coarse_flat = coarse_planes.reshape(-1)
-
     ch, cw, rows_c, stride_c = state.coarse_shape
-    _, _, rows_f, stride_f = state.fine_shape
-
-    # --- coarse: dense scores for every template at every grid cell ------
     grid = (
         jnp.arange(ch, dtype=jnp.int32)[:, None] * stride_c
         + jnp.arange(cw, dtype=jnp.int32)[None, :]
     ).reshape(-1)  # [G]
 
-    if cfg.use_pallas:
+    if cfg.use_mxu and state.w_coarse is not None:
+        # im2col + one int8 matmul on the MXU: patches[p, (sy, sx), g] is the
+        # response plane p under cell-shift (sy, sx); W rows are the one-hot
+        # (plane, shift) feature indicators. Exact: products are 0..4 ints,
+        # accumulated in int32.
+        s_sh = state.max_cells_coarse
+        p_tot = state.w_coarse.shape[1] // (s_sh * s_sh)
+        cpl = coarse_planes[:p_tot].astype(jnp.int8)
+        patches = jnp.stack(
+            [
+                cpl[:, dy : dy + ch, dx : dx + cw].reshape(p_tot, ch * cw)
+                for dy in range(s_sh)
+                for dx in range(s_sh)
+            ],
+            axis=1,
+        )  # [P, S*S, G]
+        scores = jax.lax.dot_general(
+            state.w_coarse,
+            patches.reshape(p_tot * s_sh * s_sh, ch * cw),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    elif cfg.use_pallas:
         from .similarity_pallas import coarse_scores_pallas
 
         tiles = coarse_scores_pallas(
@@ -286,29 +333,46 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
         * 100.0
         / (MAX_RESPONSE * state.nf_coarse[:, None].astype(jnp.float32))
     )
-    sim_c = jnp.where(fits, sim_c, -1.0)
+    return jnp.where(fits, sim_c, -1.0)
 
-    # --- static top-K candidates ----------------------------------------
+
+def candidate_cut(cfg: MatchConfig, sim_c: jax.Array, cw: int, top_k: int):
+    """Static top-K (template, cell) candidates from dense coarse similarity.
+
+    sim_c: [N, G]. Ties resolve by flat (template, cell) index ascending, so
+    a sharded per-shard cut + merge reproduces the single-device cut exactly
+    (shards own contiguous template ranges).
+    Returns (top_sim, cand_t, cand_gy, cand_gx), each [top_k]."""
+    n_cells = sim_c.shape[1]
     flat_sim = sim_c.reshape(-1)
     if cfg.approx_topk:
         top_sim, top_idx = jax.lax.approx_max_k(
-            flat_sim, cfg.top_k, recall_target=0.99, aggregate_to_topk=True
+            flat_sim, top_k, recall_target=0.99, aggregate_to_topk=True
         )
     else:
-        top_sim, top_idx = jax.lax.top_k(flat_sim, cfg.top_k)
-    cand_t = (top_idx // grid.shape[0]).astype(jnp.int32)
-    cand_g = (top_idx % grid.shape[0]).astype(jnp.int32)
-    cand_gy = cand_g // cw
-    cand_gx = cand_g % cw
+        top_sim, top_idx = jax.lax.top_k(flat_sim, top_k)
+    cand_t = (top_idx // n_cells).astype(jnp.int32)
+    cand_g = (top_idx % n_cells).astype(jnp.int32)
+    return top_sim, cand_t, cand_g // cw, cand_g % cw
 
-    # --- fine: refine each candidate over the sub-cell window ------------
-    # One coarse cell spans 2*t_coarse level-0 px = (2*t_coarse)/t_fine fine
-    # cells — 8 exactly in color-only mode (16/2), 3.2 in dual mode (16/5).
-    # The window origin is therefore the *exact* fine-grid cell of the coarse
-    # cell's level-0 position, (gx*2*t_coarse)//t_fine (NOT gx*(16//5), which
-    # drifts ~1 px per coarse-cell index), and the window spans
-    # ceil(2*t_coarse/t_fine) cells so every level-0 position inside the
-    # coarse cell is reachable.
+
+def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
+    """Refine candidates over the fine sub-cell window of their coarse cell.
+
+    Uses only the state's fine-level fields (off_fine/off3_fine/nf_fine),
+    which the sharded matcher replicates — cand_t must index THEM.
+    Returns (sim, x, y), each [K]; x, y are level-0 bbox top-left pixels.
+
+    One coarse cell spans 2*t_coarse level-0 px = (2*t_coarse)/t_fine fine
+    cells — 8 exactly in color-only mode (16/2), 3.2 in dual mode (16/5).
+    The window origin is therefore the *exact* fine-grid cell of the coarse
+    cell's level-0 position, (gx*2*t_coarse)//t_fine (NOT gx*(16//5), which
+    drifts ~1 px per coarse-cell index), and the window spans
+    ceil(2*t_coarse/t_fine) cells so every level-0 position inside the
+    coarse cell is reachable.
+    """
+    cfg = state.cfg
+    _, _, rows_f, stride_f = state.fine_shape
     span = 2 * cfg.t_coarse  # level-0 px per coarse cell
     win = -(-span // cfg.t_fine)  # sub-cells per window (ceil)
     base_gy = (cand_gy * span) // cfg.t_fine
@@ -322,6 +386,7 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
         )
         fine_scores = tiles_f[:, :win, :win].reshape(-1, win * win)
     else:
+        fine_flat = fine_planes.reshape(-1)
         sub = (
             jnp.arange(win, dtype=jnp.int32)[:, None] * stride_f
             + jnp.arange(win, dtype=jnp.int32)[None, :]
@@ -342,7 +407,11 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
     dx = best % win
     x = (base_gx + dx) * cfg.t_fine
     y = (base_gy + dy) * cfg.t_fine
+    return sim, x, y
 
+
+def finalize_matches(cfg: MatchConfig, cand_t, sim, x, y, top_sim):
+    """Threshold + similarity-sort the refined candidates into the match dict."""
     valid = (sim >= cfg.threshold) & (top_sim > 0)
     order = jnp.argsort(-jnp.where(valid, sim, -1.0))
     return {
@@ -352,3 +421,12 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
         "similarity": sim[order],
         "valid": valid[order],
     }
+
+
+def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
+    cfg = state.cfg
+    cw = state.coarse_shape[1]
+    sim_c = coarse_similarity(state, coarse_planes)
+    top_sim, cand_t, cand_gy, cand_gx = candidate_cut(cfg, sim_c, cw, cfg.top_k)
+    sim, x, y = fine_refine(state, fine_planes, cand_t, cand_gy, cand_gx)
+    return finalize_matches(cfg, cand_t, sim, x, y, top_sim)

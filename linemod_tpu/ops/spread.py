@@ -57,16 +57,16 @@ def spread_orientations(quantized: jax.Array, t: int) -> jax.Array:
 def response_maps(spread: jax.Array) -> jax.Array:
     """Per-orientation best-similarity maps from spread bytes.
 
-    spread: [H, W] uint8 -> [8, H, W] uint8 with values 0..4.
+    spread: [...] uint8 -> [8, ...] uint8 with values 0..4 (pointwise in the
+    spatial dims, so any layout works — including the pre-linearized
+    [T, T, ch, cw] layout of `linearized_response_planes`).
     """
-    bits = ((spread[None] >> jnp.arange(8, dtype=jnp.uint8)[:, None, None]) & 1).astype(
-        jnp.bool_
-    )  # [8(bit), H, W]
+    shifts = jnp.arange(8, dtype=jnp.uint8).reshape((8,) + (1,) * spread.ndim)
+    bits = ((spread[None] >> shifts) & 1).astype(jnp.bool_)  # [8(bit), ...]
     sim = jnp.asarray(SIMILARITY)  # [8(ori), 8(bit)]
+    sim = sim.reshape((8, 8) + (1,) * spread.ndim)
     # response[o] = max over set bits b of sim[o, b]
-    resp = jnp.max(
-        jnp.where(bits[None, :, :, :], sim[:, :, None, None], jnp.uint8(0)), axis=1
-    )
+    resp = jnp.max(jnp.where(bits[None], sim, jnp.uint8(0)), axis=1)
     return resp
 
 
@@ -85,6 +85,61 @@ def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
     rows = int(np.ceil((max(ch, 32) + max_cells) / 32.0)) * 32
     stride = int(np.ceil((cw + max_cells) / 128.0)) * 128
     return ch, cw, rows, stride
+
+
+@functools.partial(jax.jit, static_argnames=("t", "max_cells"))
+def linearized_response_planes(quant: jax.Array, t: int, max_cells: int) -> jax.Array:
+    """Spread + response + linearize in the transpose-cheap order.
+
+    quant: [H, W] uint8 one-hot orientations (H, W multiples of T) ->
+    planes [8, T, T, rows, stride] uint8, identical to
+    `linearize(response_maps(spread_orientations(quant, t)), t, max_cells)`.
+
+    The grid re-layout (an 8-bit transpose — slow on TPU, it's all sublane
+    shuffles) is applied to the ONE spread byte-plane instead of the 8
+    response planes; the pointwise response expansion then runs in the
+    already-linearized layout. 8x fewer transposed bytes for bit-identical
+    output.
+    """
+    h, w = quant.shape
+    ch, cw, rows, stride = linear_plane_shape(h, w, t, max_cells)
+    spread = spread_orientations(quant, t)
+    s = spread.reshape(ch, t, cw, t).transpose(1, 3, 0, 2)  # [T, T, ch, cw]
+    resp = response_maps(s)  # [8, T, T, ch, cw]
+    return jnp.pad(
+        resp, ((0, 0), (0, 0), (0, 0), (0, rows - ch), (0, stride - cw))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t", "max_cells", "n_bands"))
+def linearized_response_planes_band(
+    quant: jax.Array, t: int, max_cells: int, band: jax.Array, n_bands: int
+) -> jax.Array:
+    """One horizontal band of `linearized_response_planes`, for tp-sharded
+    per-frame precompute: device i computes grid rows
+    [i*rows/n_bands, (i+1)*rows/n_bands) and an all_gather along the rows
+    axis (tiled) reassembles the exact full planes.
+
+    band may be traced (jax.lax.axis_index inside shard_map). Rows beyond the
+    real grid see zero spread bytes -> zero response, identical to the full
+    path's padding. Returns [8, T, T, rows/n_bands, stride] uint8.
+    """
+    h, w = quant.shape
+    h -= h % t
+    w -= w % t
+    quant = quant[:h, :w]
+    ch, cw, rows, stride = linear_plane_shape(h, w, t, max_cells)
+    if rows % n_bands:
+        raise ValueError(f"rows {rows} not divisible by n_bands {n_bands}")
+    bh = rows // n_bands
+    spread = spread_orientations(quant, t)
+    spread = jnp.pad(spread, ((0, rows * t - h), (0, 0)))
+    sl = jax.lax.dynamic_slice(
+        spread, (band * (bh * t), 0), (bh * t, w)
+    )
+    s = sl.reshape(bh, t, cw, t).transpose(1, 3, 0, 2)  # [T, T, bh, cw]
+    resp = response_maps(s)  # [8, T, T, bh, cw]
+    return jnp.pad(resp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, stride - cw)))
 
 
 @functools.partial(jax.jit, static_argnames=("t", "max_cells"))

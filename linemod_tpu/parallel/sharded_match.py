@@ -1,45 +1,76 @@
 """Template-bank-sharded matching over a device mesh.
 
-Design (SURVEY §7): the coarse scan is embarrassingly parallel over
-templates, and the fine refinement of a candidate only needs that candidate's
-own template offsets plus the (replicated, frame-derived) response planes. So
-each device matches its *shard* of the bank end-to-end — coarse scan, local
-top-K, fine refinement — and the only communication is one `all_gather` of
-K results per device followed by a replicated merge. Scaling efficiency is
-bounded only by that K-sized gather (bytes ~ 5*K per device).
+Design (SURVEY §7, revised round 3): every per-frame stage is either sharded
+or provably cheap, so scaling is no longer capped by replicated precompute
+(the round-2 design recomputed the response planes on every device — ~2 ms
+of fixed cost per frame per device):
 
-Frames batch over the "dp" axis with `vmap`; templates shard over "tp".
+1. response-plane precompute: band-sharded — device i computes grid rows
+   [i*rows/tp, (i+1)*rows/tp) of every (modality, orientation, sub-cell)
+   plane (ops/spread.py:linearized_response_planes_band), one tiled
+   all_gather reassembles the exact full planes on each device (a few MB on
+   ICI). The quantize+spread prefix is replicated — it is tens of
+   microseconds on a v5e.
+2. coarse scan: template-sharded (the dominant, perfectly-parallel cost).
+3. candidate cut: per-shard static top-K, then one tiny all_gather
+   (~K*16 B per device) and a replicated merge to the global top-K.
+   Ties resolve by global flat (template, cell) index in both the sharded
+   and single-device paths, so the merged candidate list is bit-identical
+   to the single-device cut.
+4. fine refine: the K global candidates are split into static K/tp slices —
+   any device can refine any candidate because the fine-level feature
+   tables (off_fine/off3_fine/nf_fine, ~0.5 MB) are REPLICATED, unlike the
+   sharded coarse tables. One all_gather of [K/tp] results reassembles.
+5. threshold + sort: replicated on the merged [K] arrays (identical on
+   every device).
+
+Frames batch over the "dp" axis with `vmap`; templates/bands shard over
+"tp". Output is bit-identical to ops/matching.py's single-device path
+(tests/test_parallel.py asserts this at tp in {2, 4, 8}).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.matching import MatchState, match_templates
+from ..ops.extract import downsample2
+from ..ops.gradients import quantize_color_gradients
+from ..ops.matching import (
+    MatchState,
+    candidate_cut,
+    coarse_similarity,
+    finalize_matches,
+    fine_refine,
+)
+from ..ops.normals import quantize_normals
+from ..ops.spread import linearized_response_planes_band
 
 
 def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
-    """Place the per-template arrays of a MatchState on the tp axis."""
-    spec = NamedSharding(mesh, P("tp"))
-
-    def put(x):
-        return jax.device_put(x, spec)
+    """Place the coarse per-template arrays on the tp axis; fine-level
+    tables replicate (they are small and let any device refine any
+    candidate)."""
+    tp_spec = NamedSharding(mesh, P("tp"))
+    rep = NamedSharding(mesh, P())
 
     return MatchState(
         cfg=state.cfg,
         n_templates=state.n_templates,
-        off_fine=put(state.off_fine),
-        off_coarse=put(state.off_coarse),
-        nf_fine=put(state.nf_fine),
-        nf_coarse=put(state.nf_coarse),
-        lim_coarse=put(state.lim_coarse),
-        off3_coarse=put(state.off3_coarse),
-        off3_fine=put(state.off3_fine),
+        off_fine=jax.device_put(state.off_fine, rep),
+        off_coarse=jax.device_put(state.off_coarse, tp_spec),
+        nf_fine=jax.device_put(state.nf_fine, rep),
+        nf_coarse=jax.device_put(state.nf_coarse, tp_spec),
+        lim_coarse=jax.device_put(state.lim_coarse, tp_spec),
+        off3_coarse=jax.device_put(state.off3_coarse, tp_spec),
+        off3_fine=jax.device_put(state.off3_fine, rep),
+        w_coarse=(
+            jax.device_put(state.w_coarse, tp_spec)
+            if state.w_coarse is not None
+            else None
+        ),
         fine_shape=state.fine_shape,
         coarse_shape=state.coarse_shape,
         max_cells_fine=state.max_cells_fine,
@@ -47,16 +78,39 @@ def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
     )
 
 
+def _gathered_planes_band(quants, t, max_cells, n_bands, shape):
+    """Compute this device's band of the linearized planes for each modality
+    and all_gather the full planes (zero plane appended), inside a shard_map
+    body."""
+    band = jax.lax.axis_index("tp")
+    _, _, rows, stride = shape
+    parts = [
+        linearized_response_planes_band(q, t, max_cells, band, n_bands).reshape(
+            -1, rows // n_bands, stride
+        )
+        for q in quants
+    ]
+    local = jnp.concatenate(parts, axis=0)  # [P, rows/tp, stride]
+    full = jax.lax.all_gather(local, "tp", axis=1, tiled=True)  # [P, rows, stride]
+    zero = jnp.zeros((1, rows, stride), jnp.uint8)
+    return jnp.concatenate([full, zero], axis=0)
+
+
 def make_sharded_matcher(state: MatchState, mesh: Mesh):
     """Build a jitted sharded matcher: (color [B, H, W, 3], depth [B, H, W])
     -> match dict with leading batch axis. B must be a multiple of the dp
     axis size. Template ids returned are global."""
     tp = mesh.shape["tp"]
-    n_shard = state.off_fine.shape[0] // tp
+    n_shard = state.off_coarse.shape[0] // tp
     cfg = state.cfg
+    if cfg.top_k % tp:
+        raise ValueError(f"top_k {cfg.top_k} must be a multiple of tp {tp}")
+    k_slice = cfg.top_k // tp
 
-    def local_match(off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth):
-        # reconstruct a per-shard MatchState inside the shard_map body
+    def local_match(
+        off_f, off_c, nf_f, nf_c, lim, off3, off3f, w_c, color, depth
+    ):
+        # shard-local coarse state + replicated fine tables
         local = MatchState(
             cfg=cfg,
             n_templates=n_shard,
@@ -67,47 +121,99 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             lim_coarse=lim,
             off3_coarse=off3,
             off3_fine=off3f,
+            w_coarse=w_c,
             fine_shape=state.fine_shape,
             coarse_shape=state.coarse_shape,
             max_cells_fine=state.max_cells_fine,
             max_cells_coarse=state.max_cells_coarse,
         )
+        shard_idx = jax.lax.axis_index("tp")
 
         def one_frame(c, d):
-            m = match_templates(local, c, d)
-            # globalize template ids
-            shard_idx = jax.lax.axis_index("tp")
-            m["template_id"] = m["template_id"] + shard_idx * n_shard
-            # gather every shard's K results and merge to the global top-K
-            sims = jax.lax.all_gather(
-                jnp.where(m["valid"], m["similarity"], -1.0), "tp"
-            ).reshape(-1)
-            tids = jax.lax.all_gather(m["template_id"], "tp").reshape(-1)
-            xs = jax.lax.all_gather(m["x"], "tp").reshape(-1)
-            ys = jax.lax.all_gather(m["y"], "tp").reshape(-1)
-            vals = jax.lax.all_gather(m["valid"], "tp").reshape(-1)
-            top_sim, top_i = jax.lax.top_k(sims, cfg.top_k)
-            return {
-                "template_id": tids[top_i],
-                "x": xs[top_i],
-                "y": ys[top_i],
-                "similarity": top_sim,
-                "valid": vals[top_i] & (top_sim > 0),
-            }
+            # 1. band-sharded planes precompute + reassembly
+            quants0 = [quantize_color_gradients(c)[0]]
+            c1 = downsample2(c)
+            quants1 = [quantize_color_gradients(c1)[0]]
+            if cfg.dual_modality:
+                quants0.append(quantize_normals(d)[0])
+                quants1.append(quantize_normals(d[::2, ::2])[0])
+            fine_planes = _gathered_planes_band(
+                quants0, cfg.t_fine, state.max_cells_fine, tp, state.fine_shape
+            )
+            coarse_planes = _gathered_planes_band(
+                quants1, cfg.t_coarse, state.max_cells_coarse, tp,
+                state.coarse_shape,
+            )
+
+            # 2-3. template-sharded coarse scan + local cut + global merge
+            cw = state.coarse_shape[1]
+            sim_c = coarse_similarity(local, coarse_planes)
+            top_sim, cand_t, cand_gy, cand_gx = candidate_cut(
+                cfg, sim_c, cw, cfg.top_k
+            )
+            cand_t = cand_t + shard_idx * n_shard  # globalize
+            g_sim = jax.lax.all_gather(top_sim, "tp", tiled=True)
+            g_t = jax.lax.all_gather(cand_t, "tp", tiled=True)
+            g_gy = jax.lax.all_gather(cand_gy, "tp", tiled=True)
+            g_gx = jax.lax.all_gather(cand_gx, "tp", tiled=True)
+            # replicated merge: identical result on every device; ties by
+            # gather position = global flat (template, cell) order
+            m_sim, m_idx = jax.lax.top_k(g_sim, cfg.top_k)
+            m_t = g_t[m_idx]
+            m_gy = g_gy[m_idx]
+            m_gx = g_gx[m_idx]
+
+            # 4. fine refine of a static K/tp slice (fine tables replicated)
+            s0 = shard_idx * k_slice
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, k_slice)
+            f_sim, f_x, f_y = fine_refine(
+                local, fine_planes, sl(m_t), sl(m_gy), sl(m_gx)
+            )
+            sim = jax.lax.all_gather(f_sim, "tp", tiled=True)
+            x = jax.lax.all_gather(f_x, "tp", tiled=True)
+            y = jax.lax.all_gather(f_y, "tp", tiled=True)
+
+            # 5. replicated threshold + sort
+            return finalize_matches(cfg, m_t, sim, x, y, m_sim)
 
         return jax.vmap(one_frame)(color, depth)
 
+    args_specs = (
+        P(),      # off_fine (replicated)
+        P("tp"),  # off_coarse
+        P(),      # nf_fine
+        P("tp"),  # nf_coarse
+        P("tp"),  # lim_coarse
+        P("tp"),  # off3_coarse
+        P(),      # off3_fine
+        P("tp"),  # w_coarse
+        P("dp"),  # color
+        P("dp"),  # depth
+    )
+    if state.w_coarse is None:
+        # drop the w_coarse slot entirely (None is not a shardable leaf)
+        def local_match_no_w(off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth):
+            return local_match(
+                off_f, off_c, nf_f, nf_c, lim, off3, off3f, None, color, depth
+            )
+
+        body = local_match_no_w
+        in_specs = args_specs[:7] + args_specs[8:]
+    else:
+        body = local_match
+        in_specs = args_specs
+
     mapped = shard_map(
-        local_match,
+        body,
         mesh=mesh,
-        in_specs=(P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"), P("dp"), P("dp")),
+        in_specs=in_specs,
         out_specs=P("dp"),
-        check_vma=False,  # outputs are tp-replicated after the all_gather merge
+        check_vma=False,  # outputs are tp-replicated after the final gather
     )
 
     @jax.jit
     def matcher(color, depth):
-        return mapped(
+        args = [
             state.off_fine,
             state.off_coarse,
             state.nf_fine,
@@ -115,8 +221,9 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             state.lim_coarse,
             state.off3_coarse,
             state.off3_fine,
-            color,
-            depth,
-        )
+        ]
+        if state.w_coarse is not None:
+            args.append(state.w_coarse)
+        return mapped(*args, color, depth)
 
     return matcher

@@ -49,8 +49,10 @@ def make_match_config(
     """Production MatchConfig shared by the single- and multi-model
     orchestrators.
 
-    - Pallas VMEM-resident coarse scan on TPU when the coarse grid fits one
-      (32 x 128) tile (640x480 at T=8 is 30 x 40).
+    - MXU coarse engine (int8 im2col matmul) on TPU — faster than the Pallas
+      scan at every bank size measured and no grid-size constraint; the
+      Pallas VMEM-resident scan stays on as the fallback for the fine refine
+      and as the coarse engine where the MXU weights would not fit.
     - top_k scales with the class count so classes in a super-bank can't
       starve each other of candidate slots (the reference matches each class
       with its own unbounded match list, src/HighLevelLinemod.cpp:145-164).
@@ -60,8 +62,9 @@ def make_match_config(
     import jax
 
     t_coarse = 8
+    on_tpu = jax.default_backend() == "tpu"
     use_pallas = (
-        jax.default_backend() == "tpu"
+        on_tpu
         and (cam.height // 2) // t_coarse <= 32
         and (cam.width // 2) // t_coarse <= 128
     )
@@ -75,7 +78,11 @@ def make_match_config(
         dual_modality=dual_modality,
         template_chunk=min(256, _pad_chunk(n_templates)),
         use_pallas=use_pallas,
-        approx_topk=use_pallas,
+        # The MXU engine wins in isolation but currently lowers poorly when
+        # fused into the full frame program (see scaling_results.json notes);
+        # keep the Pallas scan as the production coarse engine.
+        use_mxu=False,
+        approx_topk=on_tpu,
     )
 
 

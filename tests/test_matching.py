@@ -60,6 +60,22 @@ class TestSpread:
         assert SIMILARITY[0, 4] == 0
         np.testing.assert_array_equal(SIMILARITY, SIMILARITY.T)
 
+    def test_linearized_response_planes_matches_composition(self, rng):
+        """The transpose-cheap fused path (transpose the one spread plane,
+        THEN expand responses) must be bit-identical to
+        linearize(response_maps(spread(...)))."""
+        from linemod_tpu.ops.spread import linearized_response_planes
+
+        for t, mc in [(2, 5), (8, 3)]:
+            h, w = 64, 96
+            q = (1 << rng.integers(0, 8, size=(h, w))).astype(np.uint8)
+            q[rng.uniform(size=(h, w)) < 0.7] = 0
+            want = np.asarray(
+                linearize(response_maps(spread_orientations(jnp.asarray(q), t)), t, mc)
+            )
+            got = np.asarray(linearized_response_planes(jnp.asarray(q), t, mc))
+            np.testing.assert_array_equal(got, want)
+
     def test_linearize_offsets_consistency(self, rng):
         t = 4
         h, w = 32, 64

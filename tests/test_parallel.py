@@ -63,13 +63,41 @@ def test_sharded_match_equals_single(cube_bank_scene):
     sv = single["valid"]
     pv = shard["valid"]
     assert sv.sum() == pv.sum() > 0
-    # same set of (template, x, y, sim) among valid matches
-    def keyset(m, v):
-        return set(
-            zip(m["template_id"][v].tolist(), m["x"][v].tolist(),
-                m["y"][v].tolist(), np.round(m["similarity"][v], 3).tolist())
-        )
-    assert keyset(single, sv) == keyset(shard, pv)
+    # bit-identical output arrays: the sharded per-shard cut + merge
+    # reproduces the single-device candidate list (ties resolve by global
+    # flat index in both), band-sharded planes reassemble exactly, and the
+    # sliced fine refine sees the same candidates
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(single[k], shard[k], err_msg=k)
+
+
+def test_band_planes_reassemble_exactly(cube_bank_scene):
+    """The band-sharded planes path must tile back to the full planes."""
+    from linemod_tpu.ops.gradients import quantize_color_gradients
+    from linemod_tpu.ops.spread import (
+        linear_plane_shape,
+        linearized_response_planes,
+        linearized_response_planes_band,
+    )
+
+    _, color, _ = cube_bank_scene
+    quant = quantize_color_gradients(jnp.asarray(color, jnp.float32))[0]
+    for t, mc in [(2, 49), (8, 7), (5, 21)]:
+        h, w = quant.shape
+        hp, wp = h - h % t, w - w % t
+        _, _, rows, stride = linear_plane_shape(hp, wp, t, mc)
+        full = np.asarray(
+            linearized_response_planes(quant[:hp, :wp], t, mc)
+        ).reshape(-1, rows, stride)
+        for n_bands in (2, 4, 8):
+            bands = [
+                np.asarray(
+                    linearized_response_planes_band(quant, t, mc, b, n_bands)
+                ).reshape(-1, rows // n_bands, stride)
+                for b in range(n_bands)
+            ]
+            got = np.concatenate(bands, axis=1)
+            np.testing.assert_array_equal(got, full, err_msg=f"t={t} bands={n_bands}")
 
 
 def test_sharded_batch_dp(cube_bank_scene):
