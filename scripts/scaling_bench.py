@@ -1,22 +1,30 @@
-"""Scaling-efficiency evidence for template-bank sharding.
+"""Scaling-efficiency evidence for the sharded matcher.
 
 Real multi-chip hardware is not available in this environment (one TPU chip
-behind a tunnel), so this script produces the two honest halves of the
-scaling story:
+behind a tunnel), so this script measures the honest decomposition:
 
-1. MEASURED on the real chip: per-frame device time of the full match
-   program at bank sizes 256..4096 — the per-template cost (the tp-sharded
-   part) vs the fixed per-frame cost (planes precompute + top-k + fine, which
-   replicate per device).
-2. MODELED strong scaling at tp = 2/4/8 from those measurements plus the
-   communication term: the sharded matcher's only collective is one
-   all_gather of 5 arrays x top_k f32 per device (~10 KB at top_k=512),
-   <10 us on ICI — negligible against the ms-scale compute.
+1. MEASURED on the real chip: T1 = the full single-device frame program, and
+   T_tp = the exact per-device compute of the round-3 sharded matcher at
+   each tp (band-sharded planes at rows/tp, coarse scan of N/tp templates,
+   local top-K cut, K/tp slice of the fine refine, final sort) — the same
+   ops the shard_map body runs, minus the collectives.
+2. MODELED: the collective costs from their exact byte counts over ICI
+   (all_gather of the plane bands, the K-candidate merge, and the fine-score
+   gather) at an assumed 40 GB/s effective ICI all_gather bandwidth + 2 us
+   latency each (v5e ring; the numbers are microseconds, so the assumption
+   is not load-bearing).
+
+Efficiency(tp) = T1 / (tp * (T_tp + comm)).
+
+Timing uses in-device repetition (K iterations inside one jitted lax.scan,
+fetch one scalar) with the harness round-trip overhead measured and
+subtracted — the axon transport adds ~25 ms per fetch and block_until_ready
+is a no-op, so naive loops cannot resolve sub-ms stages.
 
 Bit-identical correctness of the sharded matcher vs the single-device path
 at tp in {2,4,8} is separately proven on the virtual 8-device CPU mesh
 (tests/test_parallel.py); the real-shape program is exercised by
-__graft_entry__.dryrun_multichip (2048 templates, 640x480).
+__graft_entry__.dryrun_multichip.
 """
 
 import json
@@ -37,64 +45,172 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from linemod_tpu.models.template_bank import make_synthetic_bank
-from linemod_tpu.ops.matching import MatchConfig, build_match_state, match_templates
+from linemod_tpu.ops.extract import downsample2
+from linemod_tpu.ops.gradients import quantize_color_gradients
+from linemod_tpu.ops.matching import (
+    MatchConfig,
+    build_match_state,
+    candidate_cut,
+    coarse_similarity,
+    finalize_matches,
+    fine_refine,
+    match_templates,
+)
+from linemod_tpu.ops.spread import linearized_response_planes_band
+from linemod_tpu.pipeline.pose_detection import _pad_bank
 
-N_FRAMES = 30
-SIZES = [256, 512, 1024, 2048, 4096]
+K_REPEAT = 100
+N_TEMPLATES = 2048
+TOP_K = 512
+ICI_BW = 40e9  # bytes/s effective all_gather bandwidth (v5e ring, assumed)
+ICI_LAT = 2e-6  # per-collective latency
 
 
-def measure(n_templates: int) -> float:
-    bank = make_synthetic_bank(n_templates, bbox_wh=96, image_wh=(640, 480))
+def device_time(body, *examples):
+    @jax.jit
+    def run(*xs):
+        def step(acc, i):
+            return acc + body(i, *xs), None
+        return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(K_REPEAT))[0]
+
+    np.asarray(run(*examples))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(*examples))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K_REPEAT
+
+
+def main():
     use_pallas = jax.default_backend() == "tpu"
+    ovh = device_time(lambda i, x: x * i.astype(jnp.float32), jnp.float32(1.0))
+    print(f"harness overhead: {ovh * 1e3:.3f} ms/iter")
+
+    bank = _pad_bank(
+        make_synthetic_bank(N_TEMPLATES, bbox_wh=96, image_wh=(640, 480)), 256
+    )
     cfg = MatchConfig(
-        width=640,
-        height=480,
-        top_k=512,
-        template_chunk=min(256, n_templates),
-        use_pallas=use_pallas,
+        width=640, height=480, top_k=TOP_K, template_chunk=256,
+        use_pallas=use_pallas, approx_topk=use_pallas,
     )
     state = build_match_state(bank, cfg)
     rng = np.random.default_rng(0)
     color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
-    depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
-    np.asarray(match_templates(state, color, depth)["similarity"])  # compile
-    t0 = time.perf_counter()
-    outs = [match_templates(state, color, depth) for _ in range(N_FRAMES)]
-    np.asarray(outs[-1]["similarity"])
-    return (time.perf_counter() - t0) / N_FRAMES
+    depth = jnp.zeros((480, 640), jnp.float32)
 
+    # --- T1: full single-device program ---
+    t1 = device_time(
+        lambda i, c, d: match_templates(state, c + i.astype(jnp.float32), d)[
+            "similarity"
+        ].sum(),
+        color, depth,
+    ) - ovh
+    print(f"T1 single-device full match ({N_TEMPLATES} templates): {t1*1e3:.3f} ms")
 
-def main():
-    times = {}
-    for n in SIZES:
-        times[n] = measure(n)
-        print(f"bank {n:5d} templates: {times[n] * 1e3:7.2f} ms/frame")
+    # plane byte counts for the comm model
+    pf, rows_f, stride_f = 8 * cfg.t_fine**2, state.fine_shape[2], state.fine_shape[3]
+    pc, rows_c, stride_c = 8 * cfg.t_coarse**2, state.coarse_shape[2], state.coarse_shape[3]
+    planes_bytes = pf * rows_f * stride_f + pc * rows_c * stride_c
 
-    # linear fit: T(N) = fixed + per_template * N
-    ns = np.array(SIZES, float)
-    ts = np.array([times[n] for n in SIZES])
-    per_template, fixed = np.polyfit(ns, ts, 1)
-    print(f"\nfit: fixed {fixed * 1e3:.2f} ms + {per_template * 1e6:.3f} us/template")
+    results = {"t1_ms": t1 * 1e3, "n_templates": N_TEMPLATES,
+               "harness_overhead_ms": ovh * 1e3,
+               "comm_model": {"ici_bw_GBps": ICI_BW / 1e9, "latency_us": ICI_LAT * 1e6},
+               "strong_scaling": []}
 
-    # modeled strong scaling of the 2048-template workload
-    comm = 10e-6  # one ~10 KB all_gather per frame on ICI
-    t1 = fixed + per_template * 2048
-    rows = []
-    for tp in [1, 2, 4, 8]:
-        t = fixed + per_template * 2048 / tp + (comm if tp > 1 else 0.0)
-        eff = t1 / (tp * t)
-        rows.append((tp, t * 1e3, 100.0 * eff))
-        print(f"tp={tp}: modeled {t * 1e3:6.2f} ms/frame, efficiency {100 * eff:5.1f}%")
+    for tp in (2, 4, 8):
+        n_shard = N_TEMPLATES // tp
+        shard_bank = _pad_bank(
+            make_synthetic_bank(n_shard, bbox_wh=96, image_wh=(640, 480)),
+            min(256, n_shard),
+        )
+        scfg = MatchConfig(
+            width=640, height=480, top_k=TOP_K,
+            template_chunk=min(256, n_shard),
+            use_pallas=use_pallas, approx_topk=use_pallas,
+        )
+        sstate = build_match_state(shard_bank, scfg)
+        k_slice = TOP_K // tp
+        cw = sstate.coarse_shape[1]
 
-    out = {
-        "measured_ms": {str(k): v * 1e3 for k, v in times.items()},
-        "fit": {"fixed_ms": fixed * 1e3, "per_template_us": per_template * 1e6},
-        "modeled_strong_scaling_2048": [
-            {"tp": tp, "ms_per_frame": t, "efficiency_pct": e} for tp, t, e in rows
-        ],
-    }
+        def per_device(i, c, d, _sstate=sstate, _tp=tp, _k=k_slice, _cw=cw):
+            c = c + i.astype(jnp.float32)
+            # 1. band-sharded planes (band 0 is representative) — the
+            # all_gather itself is modeled, but the device still processes
+            # the fully assembled planes afterwards, so reassemble by tiling
+            # the band (cost of the concat is what the gather's receiver
+            # pays on-device).
+            quant0 = quantize_color_gradients(c)[0]
+            quant1 = quantize_color_gradients(downsample2(c))[0]
+            fb = linearized_response_planes_band(
+                quant0, scfg.t_fine, _sstate.max_cells_fine, 0, _tp
+            ).reshape(-1, rows_f // _tp, stride_f)
+            cb = linearized_response_planes_band(
+                quant1, scfg.t_coarse, _sstate.max_cells_coarse, 0, _tp
+            ).reshape(-1, rows_c // _tp, stride_c)
+            fine_planes = jnp.concatenate(
+                [jnp.tile(fb, (1, _tp, 1)),
+                 jnp.zeros((1, rows_f, stride_f), jnp.uint8)], axis=0)
+            coarse_planes = jnp.concatenate(
+                [jnp.tile(cb, (1, _tp, 1)),
+                 jnp.zeros((1, rows_c, stride_c), jnp.uint8)], axis=0)
+            # 2-3. local coarse scan + local cut (+ replicated merge over
+            # tp*K gathered candidates)
+            sim_c = coarse_similarity(_sstate, coarse_planes)
+            top_sim, cand_t, cand_gy, cand_gx = candidate_cut(
+                scfg, sim_c, _cw, TOP_K
+            )
+            g_sim = jnp.tile(top_sim, _tp)
+            m_sim, m_idx = jax.lax.top_k(g_sim, TOP_K)
+            m_t = jnp.tile(cand_t, _tp)[m_idx]
+            m_gy = jnp.tile(cand_gy, _tp)[m_idx]
+            m_gx = jnp.tile(cand_gx, _tp)[m_idx]
+            # 4. fine refine of the K/tp slice
+            f_sim, f_x, f_y = fine_refine(
+                _sstate, fine_planes, m_t[:_k], m_gy[:_k], m_gx[:_k]
+            )
+            # 5. replicated final sort over the merged K
+            out = finalize_matches(
+                scfg, m_t, jnp.tile(f_sim, _tp), jnp.tile(f_x, _tp),
+                jnp.tile(f_y, _tp), m_sim,
+            )
+            return out["similarity"].sum()
+
+        t_dev = device_time(per_device, color, depth) - ovh
+
+        comm = (
+            # planes all_gather: each device receives (tp-1)/tp of the planes
+            3 * ICI_LAT
+            + (tp - 1) / tp * planes_bytes / ICI_BW
+            # candidate merge gather: 4 arrays x K x 4 B from tp-1 peers
+            + (tp - 1) * 4 * TOP_K * 4 / ICI_BW
+            # fine-score gather: 3 arrays x K/tp x 4 B from tp-1 peers
+            + (tp - 1) * 3 * k_slice * 4 / ICI_BW
+        )
+        t_tp = t_dev + comm
+        eff = t1 / (tp * t_tp)
+        results["strong_scaling"].append({
+            "tp": tp,
+            "per_device_compute_ms": t_dev * 1e3,
+            "modeled_comm_ms": comm * 1e3,
+            "ms_per_frame": t_tp * 1e3,
+            "efficiency_pct": 100.0 * eff,
+        })
+        print(
+            f"tp={tp}: compute {t_dev*1e3:6.3f} ms + comm {comm*1e3:5.3f} ms "
+            f"=> {t_tp*1e3:6.3f} ms/frame, efficiency {100*eff:5.1f}%"
+        )
+
+    # dp scaling: frames are independent, no collectives; per-device work is
+    # exactly T1, so efficiency is 100% minus harness noise — stated, not
+    # modeled.
+    results["dp_scaling_note"] = (
+        "dp shards independent frames with no communication: per-device work "
+        "is exactly the single-device program (efficiency ~100%)."
+    )
+
     with open(os.path.join(REPO, "scaling_results.json"), "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(results, f, indent=1)
     print("\nwrote scaling_results.json")
 
 
