@@ -290,7 +290,14 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
         # accumulated in int32.
         s_sh = state.max_cells_coarse
         p_tot = state.w_coarse.shape[1] // (s_sh * s_sh)
-        cpl = coarse_planes[:p_tot].astype(jnp.int8)
+        # crop the padded planes to the exact im2col extent FIRST — one
+        # contiguous copy; slicing the 49 shift windows straight out of the
+        # (rows x 128)-padded layout sends XLA's layout assignment into a
+        # pathological compile
+        cpl = coarse_planes[:p_tot, : ch + s_sh - 1, : cw + s_sh - 1].astype(
+            jnp.int8
+        )
+        cpl = jax.lax.optimization_barrier(cpl)
         patches = jnp.stack(
             [
                 cpl[:, dy : dy + ch, dx : dx + cw].reshape(p_tot, ch * cw)

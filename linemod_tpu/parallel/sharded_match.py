@@ -49,28 +49,42 @@ from ..ops.normals import quantize_normals
 from ..ops.spread import linearized_response_planes_band
 
 
+def place_global(x, mesh: Mesh, spec: P):
+    """Place a host-local array as a global sharded array on `mesh`.
+
+    Works in both single-process and multi-host (multi-controller) runs:
+    every process materializes its addressable shards from the full host
+    copy via jax.make_array_from_callback (device_put cannot target
+    non-addressable devices)."""
+    import numpy as np
+
+    arr = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
     """Place the coarse per-template arrays on the tp axis; fine-level
     tables replicate (they are small and let any device refine any
-    candidate)."""
-    tp_spec = NamedSharding(mesh, P("tp"))
-    rep = NamedSharding(mesh, P())
+    candidate). Multi-host safe (see place_global)."""
+
+    def tp(x):
+        return place_global(x, mesh, P("tp"))
+
+    def rep(x):
+        return place_global(x, mesh, P())
 
     return MatchState(
         cfg=state.cfg,
         n_templates=state.n_templates,
-        off_fine=jax.device_put(state.off_fine, rep),
-        off_coarse=jax.device_put(state.off_coarse, tp_spec),
-        nf_fine=jax.device_put(state.nf_fine, rep),
-        nf_coarse=jax.device_put(state.nf_coarse, tp_spec),
-        lim_coarse=jax.device_put(state.lim_coarse, tp_spec),
-        off3_coarse=jax.device_put(state.off3_coarse, tp_spec),
-        off3_fine=jax.device_put(state.off3_fine, rep),
-        w_coarse=(
-            jax.device_put(state.w_coarse, tp_spec)
-            if state.w_coarse is not None
-            else None
-        ),
+        off_fine=rep(state.off_fine),
+        off_coarse=tp(state.off_coarse),
+        nf_fine=rep(state.nf_fine),
+        nf_coarse=tp(state.nf_coarse),
+        lim_coarse=tp(state.lim_coarse),
+        off3_coarse=tp(state.off3_coarse),
+        off3_fine=rep(state.off3_fine),
+        w_coarse=tp(state.w_coarse) if state.w_coarse is not None else None,
         fine_shape=state.fine_shape,
         coarse_shape=state.coarse_shape,
         max_cells_fine=state.max_cells_fine,
