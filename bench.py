@@ -70,7 +70,31 @@ def run_pipeline(report_accuracy: bool):
     t0 = time.time()
     n_done = sum(1 for _ in det.detect_stream((color, depth) for _ in range(FRAMES)))
     dt = (time.time() - t0) / n_done
-    return 1.0 / dt, vsd, add, len(poses)
+
+    # disk-to-pose: the same stream but read from an on-disk PNG sequence
+    # through the native prefetch loader (decode of frame i+1 overlaps frame
+    # i's detection), so the published number includes decode+IO — the
+    # loader's reason to exist (round-2 weakness #8)
+    import tempfile
+
+    disk_fps = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            for i in range(FRAMES):
+                cv2.imwrite(os.path.join(td, f"img{i}.png"), color)
+                cv2.imwrite(os.path.join(td, f"depth{i}.png"), depth)
+            from linemod_tpu.cli import _frame_source
+
+            src = _frame_source(
+                os.path.join(td, "img%d.png"), os.path.join(td, "depth%d.png")
+            )
+            t0 = time.time()
+            n_disk = sum(1 for _ in det.detect_stream(src))
+            if n_disk:
+                disk_fps = n_disk / (time.time() - t0)
+    except Exception:
+        pass
+    return 1.0 / dt, vsd, add, len(poses), disk_fps
 
 
 def measure_cpu_baseline() -> float:
@@ -97,11 +121,11 @@ def measure_cpu_baseline() -> float:
 
 def main():
     if "--cpu-worker" in sys.argv:
-        fps, _, _, _ = run_pipeline(report_accuracy=False)
+        fps, _, _, _, _ = run_pipeline(report_accuracy=False)
         print(json.dumps({"fps": fps}))
         return
 
-    fps, vsd, add, n_poses = run_pipeline(report_accuracy=True)
+    fps, vsd, add, n_poses, disk_fps = run_pipeline(report_accuracy=True)
     try:
         cpu_fps = measure_cpu_baseline()
     except Exception:
@@ -116,6 +140,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / cpu_fps, 2) if cpu_fps else None,
     }
+    if disk_fps is not None:
+        # secondary metric: disk-to-pose over an on-disk PNG sequence
+        # (decode + prefetch + upload + detect), see run_pipeline
+        result["disk_to_pose_fps"] = round(disk_fps, 3)
     print(json.dumps(result))
 
 

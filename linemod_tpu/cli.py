@@ -125,7 +125,7 @@ def cmd_detect(args):
     times = []
     for i, (color, depth) in enumerate(_frame_source(args.images, args.depths)):
         t0 = time.time()
-        dbg = DetectionDebug() if args.display else None
+        dbg = DetectionDebug() if (args.display or args.show) else None
         with stage("detect"):
             poses = det.detect(color, depth, args.num_objects, debug=dbg)
         times.append(time.time() - t0)
@@ -142,7 +142,7 @@ def cmd_detect(args):
         elif bench is not None:
             bench.next_image()
         print(msg)
-        if args.display and poses:
+        if (args.display or args.show) and poses:
             import cv2
 
             with stage("display"):
@@ -156,8 +156,15 @@ def cmd_detect(args):
                         )
                 for p in poses:
                     draw_coordinate_system(out, cam, 75.0, p)
-                os.makedirs(args.display, exist_ok=True)
-                cv2.imwrite(os.path.join(args.display, f"det{i}.png"), out)
+                if args.display:
+                    os.makedirs(args.display, exist_ok=True)
+                    cv2.imwrite(os.path.join(args.display, f"det{i}.png"), out)
+                if args.show:
+                    # the reference's live loop (imshow + waitKey,
+                    # src/PoseDetection.cpp:121-122); ESC quits
+                    cv2.imshow("linemod_tpu detect", out)
+                    if (cv2.waitKey(1) & 0xFF) == 27:
+                        break
         if args.max_frames and i + 1 >= args.max_frames:
             break
     if i < 0:
@@ -270,6 +277,29 @@ def cmd_evaluate(args):
 def cmd_aruco(args):
     from .pipeline.aruco_capture import create_aruco_board
 
+    if args.capture:
+        # ground-truth dataset capture (the Arcuo_Benchmark loop,
+        # src/Aruco.cpp:36-110): --interactive shows the HUD with TAB-save /
+        # ESC; otherwise every board-detected frame is saved headlessly
+        from .config import load_settings
+        from .pipeline.aruco_capture import (
+            capture_ground_truth,
+            capture_ground_truth_interactive,
+        )
+
+        cam, _ = load_settings(args.settings)
+        if args.images == "kinect":
+            from .pipeline.sensors import Kinect2Source
+
+            src = Kinect2Source()
+        else:
+            src = _frame_source(args.images, args.depths)
+        if args.interactive:
+            n = capture_ground_truth_interactive(src, cam, args.out_dir)
+        else:
+            n = capture_ground_truth(src, cam, args.out_dir)
+        print(f"captured {n} frames to {args.out_dir}")
+        return 0
     create_aruco_board(args.out)
     print(f"wrote {args.out}")
     return 0
@@ -306,6 +336,9 @@ def main(argv=None):
     d.add_argument("--num-objects", type=int, default=1)
     d.add_argument("--benchmark", action="store_true")
     d.add_argument("--display", default="", help="directory for overlay images")
+    d.add_argument("--show", action="store_true",
+                   help="live overlay window (imshow loop, ESC quits); "
+                        "requires a GUI-capable OpenCV")
     d.add_argument("--max-frames", type=int, default=0)
     d.add_argument("--profile", action="store_true",
                    help="print a per-stage wall-clock breakdown at the end")
@@ -335,8 +368,19 @@ def main(argv=None):
     e.add_argument("--max-frames", type=int, default=0)
     e.set_defaults(fn=cmd_evaluate)
 
-    a = sub.add_parser("aruco", help="create the aruco calibration board image")
+    a = sub.add_parser(
+        "aruco", help="aruco board image / ground-truth dataset capture"
+    )
     a.add_argument("--out", default="aruco_board.png")
+    a.add_argument("--capture", action="store_true",
+                   help="capture img/depth/pose ground-truth frames")
+    a.add_argument("--interactive", action="store_true",
+                   help="HUD capture loop (TAB=save, ESC=quit); needs a GUI")
+    a.add_argument("--settings", default="linemod_settings.yml")
+    a.add_argument("--images", default="capture/img%d.png",
+                   help="frame source template, or 'kinect' for live capture")
+    a.add_argument("--depths", default="capture/depth%d.png")
+    a.add_argument("--out-dir", default="benchmark")
     a.set_defaults(fn=cmd_aruco)
 
     args = p.parse_args(argv)

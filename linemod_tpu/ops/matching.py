@@ -63,6 +63,14 @@ class MatchConfig:
     # candidate cut is exact; opt in only where a real-TPU test has verified
     # the above-threshold match set is unchanged (tests/test_tpu_hw.py).
     approx_topk: bool = False
+    # Large-bank streaming cut: scan the bank in chunks of this many
+    # templates, merging a running exact top-K instead of materializing the
+    # dense [N, G] similarity (at 96k templates that array alone is ~460 MB
+    # and the Pallas tile output 1.6 GB). 0 = dense one-shot cut. The
+    # streamed cut is exact: each chunk can contribute at most top_k
+    # candidates, and tie order (sim desc, then global flat index asc) is
+    # preserved because chunks arrive in ascending template order.
+    scan_chunk: int = 0
 
 
 @functools.partial(
@@ -363,6 +371,63 @@ def candidate_cut(cfg: MatchConfig, sim_c: jax.Array, cw: int, top_k: int):
     return top_sim, cand_t, cand_g // cw, cand_g % cw
 
 
+def candidate_cut_streaming(state: MatchState, coarse_planes, top_k: int):
+    """Exact top-K cut over the whole bank without the dense [N, G] array.
+
+    lax.scan over template chunks: each chunk's dense similarity is reduced
+    to its local top-K and merged into the running top-K. HBM high-water is
+    O(chunk * G) instead of O(N * G). Returns the same
+    (top_sim, cand_t, cand_gy, cand_gx) as candidate_cut."""
+    cfg = state.cfg
+    n = state.off_coarse.shape[0]
+    chunk = cfg.scan_chunk
+    if n % chunk:
+        raise ValueError(f"bank size {n} not a multiple of scan_chunk {chunk}")
+    cw = state.coarse_shape[1]
+    n_cells = state.coarse_shape[0] * cw
+
+    def body(carry, ci):
+        run_sim, run_pos = carry
+        t0 = ci * chunk
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, t0, chunk)
+
+        sub = dataclasses.replace(
+            state,
+            off_coarse=sl(state.off_coarse),
+            nf_coarse=sl(state.nf_coarse),
+            lim_coarse=sl(state.lim_coarse),
+            off3_coarse=sl(state.off3_coarse),
+            w_coarse=sl(state.w_coarse) if state.w_coarse is not None else None,
+        )
+        sim_c = coarse_similarity(sub, coarse_planes)  # [chunk, G]
+        flat = sim_c.reshape(-1)
+        if cfg.approx_topk:
+            c_sim, c_idx = jax.lax.approx_max_k(
+                flat, top_k, recall_target=0.99, aggregate_to_topk=True
+            )
+        else:
+            c_sim, c_idx = jax.lax.top_k(flat, top_k)
+        # global flat position of each chunk candidate
+        c_pos = (c_idx // n_cells + t0) * n_cells + c_idx % n_cells
+        cat_sim = jnp.concatenate([run_sim, c_sim])
+        cat_pos = jnp.concatenate([run_pos, c_pos])
+        m_sim, mi = jax.lax.top_k(cat_sim, top_k)
+        return (m_sim, cat_pos[mi]), None
+
+    init = (
+        jnp.full((top_k,), -jnp.inf, jnp.float32),
+        jnp.zeros((top_k,), jnp.int32),
+    )
+    (top_sim, top_pos), _ = jax.lax.scan(
+        body, init, jnp.arange(n // chunk, dtype=jnp.int32)
+    )
+    cand_t = (top_pos // n_cells).astype(jnp.int32)
+    cand_g = (top_pos % n_cells).astype(jnp.int32)
+    return top_sim, cand_t, cand_g // cw, cand_g % cw
+
+
 def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
     """Refine candidates over the fine sub-cell window of their coarse cell.
 
@@ -433,7 +498,12 @@ def finalize_matches(cfg: MatchConfig, cand_t, sim, x, y, top_sim):
 def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
     cfg = state.cfg
     cw = state.coarse_shape[1]
-    sim_c = coarse_similarity(state, coarse_planes)
-    top_sim, cand_t, cand_gy, cand_gx = candidate_cut(cfg, sim_c, cw, cfg.top_k)
+    if cfg.scan_chunk and state.off_coarse.shape[0] > cfg.scan_chunk:
+        top_sim, cand_t, cand_gy, cand_gx = candidate_cut_streaming(
+            state, coarse_planes, cfg.top_k
+        )
+    else:
+        sim_c = coarse_similarity(state, coarse_planes)
+        top_sim, cand_t, cand_gy, cand_gx = candidate_cut(cfg, sim_c, cw, cfg.top_k)
     sim, x, y = fine_refine(state, fine_planes, cand_t, cand_gy, cand_gx)
     return finalize_matches(cfg, cand_t, sim, x, y, top_sim)

@@ -75,14 +75,17 @@ def linear_plane_shape(h: int, w: int, t: int, max_cells: int):
 
     Padding guarantees the Pallas scan kernels' aligned loads + dynamic
     rotations stay exact: rows cover at least one 32-row output tile plus the
-    max within-bank shift and are 32-aligned (Mosaic's dynamic_rotate needs a
-    tile-aligned sublane extent); the row stride covers the grid width plus
-    the max shift, rounded to full 128-lane tiles. Lane rotation may wrap, but
-    the wrapped values land in lanes >= stride - max_cells >= cw, outside the
-    real grid, so they never reach a score.
+    max within-bank shift and are 8-aligned (Mosaic's dynamic_rotate needs a
+    sublane-tile-aligned extent — multiples of 8); the row stride covers the
+    grid width plus the max shift, rounded to full 128-lane tiles. Lane
+    rotation may wrap, but the wrapped values land in lanes >=
+    stride - max_cells >= cw, outside the real grid, so they never reach a
+    score. Rows were 32-aligned until round 3; 8-alignment cut the coarse
+    planes from 4.2 to 2.6 MB (less response compute, less VMEM, smaller
+    tp all_gather) with Mosaic still compiling the rolls.
     """
     ch, cw = h // t, w // t
-    rows = int(np.ceil((max(ch, 32) + max_cells) / 32.0)) * 32
+    rows = int(np.ceil((max(ch, 32) + max_cells) / 8.0)) * 8
     stride = int(np.ceil((cw + max_cells) / 128.0)) * 128
     return ch, cw, rows, stride
 
@@ -139,6 +142,61 @@ def linearized_response_planes_band(
     )
     s = sl.reshape(bh, t, cw, t).transpose(1, 3, 0, 2)  # [T, T, bh, cw]
     resp = response_maps(s)  # [8, T, T, bh, cw]
+    return jnp.pad(resp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, stride - cw)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "max_cells", "n_bands", "quantize_fn")
+)
+def band_planes_from_image(
+    img: jax.Array,
+    t: int,
+    max_cells: int,
+    band: jax.Array,
+    n_bands: int,
+    quantize_fn,
+) -> jax.Array:
+    """One band of the linearized planes computed from the RAW image — the
+    quantize itself is band-sharded too (it was the largest replicated cost
+    left in the tp-sharded per-frame path: ~0.17 ms/frame on a v5e).
+
+    The device quantizes only the image rows its band's spread needs, plus an
+    8-row halo covering the quantizer's receptive field (7x7 blur -> 3, Sobel
+    -> 1, vote -> 1), so the result is bit-identical to quantizing the full
+    image: interior rows see identical inputs, and the image's replicate
+    padding is reproduced by pre-padding before the slice. Rows past the real
+    image are forced to zero orientation, matching the full path's zero
+    padding. Returns [8, T, T, rows/n_bands, stride] uint8.
+
+    quantize_fn: img-slice -> (one-hot orientations, _) — e.g.
+    ops.gradients.quantize_color_gradients or ops.normals.quantize_normals.
+    """
+    HALO = 8
+    h, w = img.shape[:2]
+    h -= h % t
+    w -= w % t
+    img = img[:h, :w]
+    ch, cw, rows, stride = linear_plane_shape(h, w, t, max_cells)
+    if rows % n_bands:
+        raise ValueError(f"rows {rows} not divisible by n_bands {n_bands}")
+    bh = rows // n_bands
+    bh_px = bh * t
+    pad_rows = ((HALO, rows * t - h + t + HALO),) + ((0, 0),) * (img.ndim - 1)
+    imgp = jnp.pad(img, pad_rows, mode="edge")
+    sl = jax.lax.dynamic_slice(
+        imgp,
+        (band * bh_px,) + (0,) * (img.ndim - 1),
+        (bh_px + t + 2 * HALO,) + img.shape[1:],
+    )
+    quant = quantize_fn(sl)[0][HALO : HALO + bh_px + t]
+    # zero orientations past the real image (the full path pads spread with
+    # zeros there)
+    row0 = band * bh_px
+    gidx = row0 + jnp.arange(bh_px + t)
+    quant = jnp.where((gidx < h)[:, None], quant, 0)
+    spread = spread_orientations(quant, t)[:bh_px]
+    s = spread.reshape(bh, t, cw, t).transpose(1, 3, 0, 2)  # [T, T, bh, cw]
+    resp = response_maps(s)
     return jnp.pad(resp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, stride - cw)))
 
 

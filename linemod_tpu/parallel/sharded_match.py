@@ -7,7 +7,7 @@ of fixed cost per frame per device):
 
 1. response-plane precompute: band-sharded — device i computes grid rows
    [i*rows/tp, (i+1)*rows/tp) of every (modality, orientation, sub-cell)
-   plane (ops/spread.py:linearized_response_planes_band), one tiled
+   plane — quantize included — (ops/spread.py:band_planes_from_image), one tiled
    all_gather reassembles the exact full planes on each device (a few MB on
    ICI). The quantize+spread prefix is replicated — it is tens of
    microseconds on a v5e.
@@ -46,7 +46,7 @@ from ..ops.matching import (
     fine_refine,
 )
 from ..ops.normals import quantize_normals
-from ..ops.spread import linearized_response_planes_band
+from ..ops.spread import band_planes_from_image
 
 
 def place_global(x, mesh: Mesh, spec: P):
@@ -92,17 +92,19 @@ def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
     )
 
 
-def _gathered_planes_band(quants, t, max_cells, n_bands, shape):
+def _gathered_planes_band(modalities, t, max_cells, n_bands, shape):
     """Compute this device's band of the linearized planes for each modality
-    and all_gather the full planes (zero plane appended), inside a shard_map
-    body."""
+    (quantize included — band-sharded end to end) and all_gather the full
+    planes (zero plane appended), inside a shard_map body.
+
+    modalities: [(image, quantize_fn), ...]."""
     band = jax.lax.axis_index("tp")
     _, _, rows, stride = shape
     parts = [
-        linearized_response_planes_band(q, t, max_cells, band, n_bands).reshape(
+        band_planes_from_image(img, t, max_cells, band, n_bands, fn).reshape(
             -1, rows // n_bands, stride
         )
-        for q in quants
+        for img, fn in modalities
     ]
     local = jnp.concatenate(parts, axis=0)  # [P, rows/tp, stride]
     full = jax.lax.all_gather(local, "tp", axis=1, tiled=True)  # [P, rows, stride]
@@ -144,18 +146,21 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
         shard_idx = jax.lax.axis_index("tp")
 
         def one_frame(c, d):
-            # 1. band-sharded planes precompute + reassembly
-            quants0 = [quantize_color_gradients(c)[0]]
+            # 1. band-sharded planes precompute (quantize included) +
+            # reassembly; the fine-planes gather is independent of the coarse
+            # scan, so XLA's latency-hiding scheduler overlaps it with the
+            # scan compute
             c1 = downsample2(c)
-            quants1 = [quantize_color_gradients(c1)[0]]
+            mods0 = [(c, quantize_color_gradients)]
+            mods1 = [(c1, quantize_color_gradients)]
             if cfg.dual_modality:
-                quants0.append(quantize_normals(d)[0])
-                quants1.append(quantize_normals(d[::2, ::2])[0])
+                mods0.append((d, quantize_normals))
+                mods1.append((d[::2, ::2], quantize_normals))
             fine_planes = _gathered_planes_band(
-                quants0, cfg.t_fine, state.max_cells_fine, tp, state.fine_shape
+                mods0, cfg.t_fine, state.max_cells_fine, tp, state.fine_shape
             )
             coarse_planes = _gathered_planes_band(
-                quants1, cfg.t_coarse, state.max_cells_coarse, tp,
+                mods1, cfg.t_coarse, state.max_cells_coarse, tp,
                 state.coarse_shape,
             )
 

@@ -43,14 +43,22 @@ def create_aruco_board(path: str, width: int = 720, height: int = 1000) -> None:
     cv2.imwrite(path, img)
 
 
-def detect_board_pose(color: np.ndarray, cam):
+def detect_board_pose(color: np.ndarray, cam, refine: bool = True):
     """Estimate the board pose in one frame; returns (rot 3x3, trans mm) in
-    the pipeline camera frame, or None (detectBoard, src/Aruco.cpp:36-93)."""
+    the pipeline camera frame, or None (detectBoard, src/Aruco.cpp:36-93).
+
+    refine recovers markers the first pass rejected using the board layout
+    (cv::aruco::refineDetectedMarkers, src/Aruco.cpp:68)."""
     import cv2
 
     dic, board = _board()
     det = cv2.aruco.ArucoDetector(dic)
     corners, ids, rejected = det.detectMarkers(color)
+    if refine and rejected:
+        corners, ids, rejected, _ = det.refineDetectedMarkers(
+            color, board, corners, ids, rejected,
+            cam.matrix, np.asarray(cam.distortion, np.float64),
+        )
     if ids is None or len(ids) == 0:
         return None
     obj_pts, img_pts = board.matchImagePoints(corners, ids)
@@ -94,4 +102,52 @@ def capture_ground_truth(source, cam, out_dir: str = "benchmark", max_frames: in
         i += 1
         if max_frames and i >= max_frames:
             break
+    return i
+
+
+def capture_ground_truth_interactive(source, cam, out_dir: str = "benchmark"):
+    """The reference's live HUD loop (src/Aruco.cpp:79-110): draw detected
+    markers + board axes on each frame, TAB saves img/depth/pose, ESC quits.
+    Requires a GUI-capable OpenCV; use capture_ground_truth for headless
+    operation."""
+    import cv2
+
+    from ..utils.yamlcv import write_yamlcv
+
+    os.makedirs(out_dir, exist_ok=True)
+    dic, _ = _board()
+    det = cv2.aruco.ArucoDetector(dic)
+    i = 0
+    for color, depth in source:
+        hud = color.copy()
+        corners, ids, _ = det.detectMarkers(color)
+        if ids is not None and len(ids):
+            cv2.aruco.drawDetectedMarkers(hud, corners, ids)
+        result = detect_board_pose(color, cam)
+        if result is not None:
+            rot, trans = result
+            rvec, _ = cv2.Rodrigues(rot)
+            cv2.drawFrameAxes(
+                hud, cam.matrix, np.asarray(cam.distortion, np.float64),
+                rvec, trans / PX_TO_MM, 100.0,
+            )
+        cv2.putText(hud, f"saved: {i}  TAB=save  ESC=quit", (10, 30),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 0), 2)
+        cv2.imshow("aruco capture", hud)
+        key = cv2.waitKey(1) & 0xFF
+        if key == 27:  # ESC
+            break
+        if key == 9 and result is not None:  # TAB
+            rot, trans = result
+            cv2.imwrite(os.path.join(out_dir, f"img{i}.png"), color)
+            cv2.imwrite(
+                os.path.join(out_dir, f"depth{i}.png"), depth.astype(np.uint16)
+            )
+            write_yamlcv(
+                os.path.join(out_dir, f"pose{i}.yml"),
+                {"rotMat": np.asarray(rot, np.float64),
+                 "position": list(map(float, trans))},
+            )
+            i += 1
+    cv2.destroyAllWindows()
     return i

@@ -1,0 +1,240 @@
+"""Full-scale bank regime: generation + matching at the reference's real
+configured shape.
+
+The reference's settings build up to 642 icosphere views x 15 radii x 10
+in-plane rotations ~= 96k templates for a NON-symmetric model
+(/root/reference/linemod_settings.yml:21-27); the committed fixture is
+rotationally symmetric so round 2 only ever exercised 1,950. This script
+measures, on the real chip:
+
+1. generation wall time + throughput for the fixture mesh with symmetry
+   pruning disabled at a given subdivision level;
+2. bank size on disk and match-state HBM footprint;
+3. single-chip match latency/fps at the big-bank shape, using the streaming
+   candidate cut (ops/matching.py:candidate_cut_streaming) so HBM high-water
+   stays O(scan_chunk x G);
+4. modeled tp strong scaling at that shape (same methodology as
+   scripts/scaling_bench.py: per-device compute measured on the real chip at
+   shard sizes + ICI comm model).
+
+Writes BANK_SCALE.json. Usage: python scripts/bigbank_bench.py [--subdiv 2]
+(subdiv 2 = 162 views -> 24,300 templates; subdiv 3 = 642 -> 96,300).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from linemod_tpu.config import CameraParameters, ModelProperties, TemplateSettings, load_settings
+from linemod_tpu.models.template_bank import TemplateBank, build_template_bank
+from linemod_tpu.ops.matching import MatchConfig, build_match_state, match_templates
+from linemod_tpu.ops.extract import downsample2
+from linemod_tpu.ops.gradients import quantize_color_gradients
+from linemod_tpu.ops.matching import (
+    candidate_cut_streaming,
+    coarse_similarity,
+    candidate_cut,
+    fine_refine,
+    finalize_matches,
+)
+from linemod_tpu.ops.spread import linearized_response_planes_band
+from linemod_tpu.pipeline.pose_detection import _pad_bank
+from linemod_tpu.utils.ply import load_ply
+
+K_REPEAT = 50
+TOP_K = 512
+SCAN_CHUNK = 4096
+ICI_BW = 40e9
+ICI_LAT = 2e-6
+
+
+def device_time(body, *examples):
+    @jax.jit
+    def run(*xs):
+        def step(acc, i):
+            return acc + body(i, *xs), None
+        return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(K_REPEAT))[0]
+
+    np.asarray(run(*examples))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(*examples))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K_REPEAT
+
+
+def state_hbm_bytes(state) -> int:
+    total = 0
+    for f in ("off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
+              "off3_coarse", "off3_fine", "w_coarse"):
+        a = getattr(state, f)
+        if a is not None:
+            total += a.size * a.dtype.itemsize
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdiv", type=int, default=2)
+    ap.add_argument("--bank-cache", default=os.path.join(REPO, ".bigbank_cache.npz"))
+    args = ap.parse_args()
+
+    cam, base = load_settings(os.path.join(REPO, "example", "linemod_settings.yml"))
+    settings = TemplateSettings(
+        **{**base.__dict__, "subdivisions": args.subdiv}
+    )
+    # NON-symmetric: full icosphere, no pruning (the reference's configured
+    # regime for an asymmetric part)
+    props = ModelProperties(
+        lower_color_range=(0, 0, 50), upper_color_range=(255, 255, 255),
+        rotationally_symmetrical=False, planes_of_symmetry=(0.0, 0.0, 0.0),
+    )
+    mesh = load_ply(os.path.join(REPO, "example", "models", "lagergehaeuse.ply"))
+
+    if os.path.exists(args.bank_cache):
+        bank = TemplateBank.load(args.bank_cache)
+        gen_s = None
+        print(f"loaded cached bank: {bank.num_templates} templates")
+    else:
+        t0 = time.time()
+        bank = build_template_bank(mesh, "bigbank", cam, settings, props)
+        gen_s = time.time() - t0
+        bank.save(args.bank_cache)
+        print(
+            f"generated {bank.num_templates} templates in {gen_s:.1f} s "
+            f"({bank.num_templates / gen_s:.1f} templates/s)"
+        )
+    n = bank.num_templates
+    disk_mb = os.path.getsize(args.bank_cache) / 1e6
+
+    use_pallas = jax.default_backend() == "tpu"
+    cfg = MatchConfig(
+        width=cam.width, height=cam.height, top_k=TOP_K,
+        template_chunk=256, use_pallas=use_pallas, approx_topk=use_pallas,
+        scan_chunk=SCAN_CHUNK,
+    )
+    padded = _pad_bank(bank, SCAN_CHUNK)
+    state = build_match_state(padded, cfg)
+    hbm_mb = state_hbm_bytes(state) / 1e6
+    n_pad = padded.num_templates if hasattr(padded, "num_templates") else state.off_coarse.shape[0]
+
+    ovh = device_time(lambda i, x: x * i.astype(jnp.float32), jnp.float32(1.0))
+    rng = np.random.default_rng(0)
+    color = jnp.asarray(rng.uniform(0, 255, (cam.height, cam.width, 3)).astype(np.float32))
+    depth = jnp.zeros((cam.height, cam.width), jnp.float32)
+
+    t1 = device_time(
+        lambda i, c, d: match_templates(state, c + i.astype(jnp.float32), d)[
+            "similarity"
+        ].sum(), color, depth,
+    ) - ovh
+    print(f"single-chip match: {t1 * 1e3:.2f} ms/frame ({1.0 / t1:.1f} fps device-side)")
+
+    # --- modeled tp scaling at this shape ---
+    pf_sh, pc_sh = state.fine_shape, state.coarse_shape
+    rows_f, stride_f = pf_sh[2], pf_sh[3]
+    rows_c, stride_c = pc_sh[2], pc_sh[3]
+    planes_bytes = (8 * cfg.t_fine ** 2) * rows_f * stride_f + (
+        8 * cfg.t_coarse ** 2
+    ) * rows_c * stride_c
+    cw = pc_sh[1]
+    scaling = []
+    for tp in (4, 8):
+        import dataclasses as dc
+
+        n_shard = state.off_coarse.shape[0] // tp
+        pb = _pad_bank(bank, state.off_coarse.shape[0] // tp)
+        sb = dc.replace(
+            pb,
+            **{
+                f: getattr(pb, f)[:n_shard]
+                for f in ("feat0", "valid0", "feat1", "valid1", "bbox", "quat",
+                          "z", "median_depth", "hull")
+            },
+        )
+        scfg = MatchConfig(
+            width=cam.width, height=cam.height, top_k=TOP_K, template_chunk=256,
+            use_pallas=use_pallas, approx_topk=use_pallas,
+            scan_chunk=min(SCAN_CHUNK, n_shard),
+        )
+        sstate = build_match_state(sb, scfg)
+        k_slice = TOP_K // tp
+
+        def per_device(i, c, d, _st=sstate, _tp=tp, _k=k_slice, _scfg=scfg):
+            c = c + i.astype(jnp.float32)
+            q0 = quantize_color_gradients(c)[0]
+            q1 = quantize_color_gradients(downsample2(c))[0]
+            fb = linearized_response_planes_band(
+                q0, _scfg.t_fine, _st.max_cells_fine, 0, _tp
+            ).reshape(-1, rows_f // _tp, stride_f)
+            cb = linearized_response_planes_band(
+                q1, _scfg.t_coarse, _st.max_cells_coarse, 0, _tp
+            ).reshape(-1, rows_c // _tp, stride_c)
+            fine_planes = jnp.concatenate(
+                [jnp.tile(fb, (1, _tp, 1)), jnp.zeros((1, rows_f, stride_f), jnp.uint8)], 0)
+            coarse_planes = jnp.concatenate(
+                [jnp.tile(cb, (1, _tp, 1)), jnp.zeros((1, rows_c, stride_c), jnp.uint8)], 0)
+            top_sim, ct, cgy, cgx = candidate_cut_streaming(
+                _st, coarse_planes, TOP_K
+            )
+            g_sim = jnp.tile(top_sim, _tp)
+            m_sim, mi = jax.lax.top_k(g_sim, TOP_K)
+            m_t = jnp.tile(ct, _tp)[mi]
+            m_gy = jnp.tile(cgy, _tp)[mi]
+            m_gx = jnp.tile(cgx, _tp)[mi]
+            f_sim, f_x, f_y = fine_refine(_st, fine_planes, m_t[:_k], m_gy[:_k], m_gx[:_k])
+            out = finalize_matches(
+                _scfg, m_t, jnp.tile(f_sim, _tp), jnp.tile(f_x, _tp),
+                jnp.tile(f_y, _tp), m_sim)
+            return out["similarity"].sum()
+
+        t_dev = device_time(per_device, color, depth) - ovh
+        comm = (
+            3 * ICI_LAT
+            + (tp - 1) / tp * planes_bytes / ICI_BW
+            + (tp - 1) * 4 * TOP_K * 4 / ICI_BW
+            + (tp - 1) * 3 * k_slice * 4 / ICI_BW
+        )
+        t_tp = t_dev + comm
+        eff = t1 / (tp * t_tp)
+        scaling.append({
+            "tp": tp, "per_device_compute_ms": t_dev * 1e3,
+            "modeled_comm_ms": comm * 1e3, "ms_per_frame": t_tp * 1e3,
+            "efficiency_pct": 100 * eff,
+        })
+        print(f"tp={tp}: {t_tp*1e3:.2f} ms/frame, efficiency {100*eff:.1f}%")
+
+    out = {
+        "subdiv": args.subdiv,
+        "n_templates": n,
+        "generation_seconds": gen_s,
+        "templates_per_second": (n / gen_s) if gen_s else None,
+        "bank_disk_mb": disk_mb,
+        "match_state_hbm_mb": hbm_mb,
+        "single_chip_ms_per_frame": t1 * 1e3,
+        "single_chip_fps": 1.0 / t1,
+        "scan_chunk": SCAN_CHUNK,
+        "strong_scaling": scaling,
+    }
+    with open(os.path.join(REPO, "BANK_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote BANK_SCALE.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,7 +56,7 @@ from linemod_tpu.ops.matching import (
     fine_refine,
     match_templates,
 )
-from linemod_tpu.ops.spread import linearized_response_planes_band
+from linemod_tpu.ops.spread import band_planes_from_image
 from linemod_tpu.pipeline.pose_detection import _pad_bank
 
 K_REPEAT = 100
@@ -135,18 +135,18 @@ def main():
 
         def per_device(i, c, d, _sstate=sstate, _tp=tp, _k=k_slice, _cw=cw):
             c = c + i.astype(jnp.float32)
-            # 1. band-sharded planes (band 0 is representative) — the
-            # all_gather itself is modeled, but the device still processes
-            # the fully assembled planes afterwards, so reassemble by tiling
-            # the band (cost of the concat is what the gather's receiver
-            # pays on-device).
-            quant0 = quantize_color_gradients(c)[0]
-            quant1 = quantize_color_gradients(downsample2(c))[0]
-            fb = linearized_response_planes_band(
-                quant0, scfg.t_fine, _sstate.max_cells_fine, 0, _tp
+            # 1. band-sharded planes, quantize included (band 0 is
+            # representative) — the all_gather itself is modeled, but the
+            # device still processes the fully assembled planes afterwards,
+            # so reassemble by tiling the band (cost of the concat is what
+            # the gather's receiver pays on-device).
+            fb = band_planes_from_image(
+                c, scfg.t_fine, _sstate.max_cells_fine, jnp.int32(0), _tp,
+                quantize_color_gradients,
             ).reshape(-1, rows_f // _tp, stride_f)
-            cb = linearized_response_planes_band(
-                quant1, scfg.t_coarse, _sstate.max_cells_coarse, 0, _tp
+            cb = band_planes_from_image(
+                downsample2(c), scfg.t_coarse, _sstate.max_cells_coarse,
+                jnp.int32(0), _tp, quantize_color_gradients,
             ).reshape(-1, rows_c // _tp, stride_c)
             fine_planes = jnp.concatenate(
                 [jnp.tile(fb, (1, _tp, 1)),
@@ -178,10 +178,18 @@ def main():
 
         t_dev = device_time(per_device, color, depth) - ovh
 
+        # exposed communication: the coarse-planes gather blocks the scan,
+        # but the fine-planes gather has no consumer until after the scan +
+        # cut, so XLA's latency-hiding scheduler overlaps it with the scan
+        # compute — only the part exceeding the scan time is exposed.
+        fine_bytes = (8 * cfg.t_fine**2) * rows_f * stride_f
+        coarse_bytes = (8 * cfg.t_coarse**2) * rows_c * stride_c
+        scan_s = 0.8e-6 * (N_TEMPLATES // tp)  # measured ~0.8 us/template
+        fine_gather = (tp - 1) / tp * fine_bytes / ICI_BW
         comm = (
-            # planes all_gather: each device receives (tp-1)/tp of the planes
             3 * ICI_LAT
-            + (tp - 1) / tp * planes_bytes / ICI_BW
+            + (tp - 1) / tp * coarse_bytes / ICI_BW
+            + max(0.0, fine_gather - scan_s)
             # candidate merge gather: 4 arrays x K x 4 B from tp-1 peers
             + (tp - 1) * 4 * TOP_K * 4 / ICI_BW
             # fine-score gather: 3 arrays x K/tp x 4 B from tp-1 peers

@@ -1,9 +1,17 @@
-"""Real-TPU parity check: Pallas coarse scan vs XLA gather path.
+"""Real-TPU parity checks.
 
-Compiles both paths of match_templates on the actual TPU backend and asserts
-bit-identical candidate sets on a synthetic bank + random frame. Run directly
-or via tests/test_tpu_hw.py (gated behind LINEMOD_TPU_HW_TESTS=1 because
-remote-TPU compiles are slow).
+1. Engine parity: Pallas coarse scan and MXU im2col-matmul vs the XLA
+   gather path — bit-identical match output on a synthetic bank + frame.
+2. approx_max_k vs exact top_k candidate cut: the production TPU config
+   enables lax.approx_max_k (recall target 0.99); this asserts the
+   above-threshold VALID match set is identical to the exact cut on (a) the
+   real fixture frame with the committed bank and (b) a 12-object stress
+   frame (the fixture object tiled across the image) that pushes hundreds
+   of matches toward the top-K boundary. approx misses are only allowed in
+   the below-threshold tail.
+
+Run directly or via tests/test_tpu_hw.py (gated behind
+LINEMOD_TPU_HW_TESTS=1 because remote-TPU compiles are slow).
 """
 
 import dataclasses
@@ -36,6 +44,7 @@ def main():
     rng = np.random.default_rng(7)
     color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
     depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
+    depth_zero = jnp.zeros((480, 640), jnp.float32)
 
     t0 = time.time()
     out_p = jax.tree.map(np.asarray, match_templates(state_p, color, depth))
@@ -67,6 +76,66 @@ def main():
         f"pallas {tp*1e3:.1f} ms vs gather {tg*1e3:.1f} ms "
         f"(compile {t_pallas_compile:.0f}s)"
     )
+
+    # --- MXU engine parity on the real chip ---
+    state_m = build_match_state(bank, dataclasses.replace(cfg, use_mxu=True))
+    out_m = jax.tree.map(np.asarray, match_templates(state_m, color, depth))
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        if not np.array_equal(out_m[k], out_g[k]):
+            raise AssertionError(f"MXU mismatch in {k}")
+    tm = timeit(state_m)
+    print(f"MXU PARITY OK: mxu {tm*1e3:.1f} ms")
+
+    # --- approx vs exact candidate cut on the real fixture ---
+    import cv2
+
+    from linemod_tpu.config import load_model_properties, load_settings
+    from linemod_tpu.models.template_bank import TemplateBank
+    from linemod_tpu.pipeline.pose_detection import _pad_bank, make_match_config
+
+    example = os.path.join(REPO, "example")
+    cam, settings = load_settings(os.path.join(example, "linemod_settings.yml"))
+    fb = TemplateBank.load(os.path.join(example, "banks", "lagergehaeuse.npz"))
+    img = cv2.imread(os.path.join(example, "benchmark", "img0.png"))
+    base_cfg = make_match_config(cam, settings, fb.dual_modality, fb.num_templates)
+    padded = _pad_bank(fb, base_cfg.template_chunk)
+
+    # stress frame: tile the object's region 3x4 across the image so
+    # hundreds of matches crowd the top-K boundary
+    obj = img[180:340, 200:420]
+    stress = np.zeros_like(img)
+    for r in range(3):
+        for c in range(4):
+            y0, x0 = 10 + r * 160, 10 + c * 155
+            stress[y0 : y0 + 160, x0 : x0 + 220] = obj[:, :220]
+
+    for name, frame in [("img0", img), ("stress12", stress)]:
+        outs = {}
+        for approx in (False, True):
+            st = build_match_state(
+                padded, dataclasses.replace(base_cfg, approx_topk=approx)
+            )
+            o = jax.tree.map(
+                np.asarray,
+                match_templates(
+                    st, jnp.asarray(frame.astype(np.float32)), depth_zero
+                ),
+            )
+            v = o["valid"]
+            outs[approx] = set(
+                zip(o["template_id"][v].tolist(), o["x"][v].tolist(),
+                    o["y"][v].tolist())
+            )
+        missed = outs[False] - outs[True]
+        extra = outs[True] - outs[False]
+        assert not missed and not extra, (
+            f"{name}: approx cut changed the valid set — missed {len(missed)}, "
+            f"extra {len(extra)} of {len(outs[False])}"
+        )
+        print(
+            f"APPROX OK on {name}: {len(outs[False])} valid matches identical "
+            f"with approx and exact cuts"
+        )
 
 
 if __name__ == "__main__":

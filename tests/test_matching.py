@@ -208,3 +208,57 @@ class TestSelfMatch:
         depth = np.zeros((480, 640), np.uint16)
         poses = det.detect(color, depth)
         assert poses == []
+
+
+class TestStreamingCut:
+    def test_streaming_cut_equals_dense(self, rng):
+        """The chunked large-bank candidate cut must reproduce the dense cut
+        exactly, including tie order (sim desc, then global flat index)."""
+        import dataclasses
+
+        from linemod_tpu.models.template_bank import make_synthetic_bank
+        from linemod_tpu.ops.matching import (
+            MatchConfig,
+            build_match_state,
+            match_templates,
+        )
+
+        bank = make_synthetic_bank(64, seed=9, bbox_wh=48)
+        cfg = MatchConfig(width=320, height=240, top_k=48, template_chunk=8)
+        state = build_match_state(bank, cfg)
+        state_s = build_match_state(
+            bank, dataclasses.replace(cfg, scan_chunk=16)
+        )
+        color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
+        depth = jnp.zeros((240, 320), jnp.float32)
+        ref = match_templates(state, color, depth)
+        got = match_templates(state_s, color, depth)
+        for k in ("template_id", "x", "y", "similarity", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+            )
+
+    def test_streaming_cut_with_mxu(self, rng):
+        import dataclasses
+
+        from linemod_tpu.models.template_bank import make_synthetic_bank
+        from linemod_tpu.ops.matching import (
+            MatchConfig,
+            build_match_state,
+            match_templates,
+        )
+
+        bank = make_synthetic_bank(32, seed=2, bbox_wh=48)
+        cfg = MatchConfig(width=320, height=240, top_k=32, template_chunk=8)
+        state = build_match_state(bank, cfg)
+        state_m = build_match_state(
+            bank, dataclasses.replace(cfg, scan_chunk=8, use_mxu=True)
+        )
+        color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
+        depth = jnp.zeros((240, 320), jnp.float32)
+        ref = match_templates(state, color, depth)
+        got = match_templates(state_m, color, depth)
+        for k in ("template_id", "x", "y", "similarity", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+            )

@@ -121,6 +121,68 @@ def test_detect_both_classes_one_frame(two_model_setup):
         assert abs(poses[0].translation[2] - exp[2]) < 30, c
 
 
+def octa_mesh(scale=55.0):
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    ) * scale
+    faces = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.uint32,
+    )
+    colors = np.array(
+        [[0.2, 0.4, 1], [0.3, 0.5, 0.9], [0.2, 0.6, 1],
+         [0.25, 0.45, 0.95], [0.3, 0.4, 1], [0.2, 0.5, 0.85]], np.float32,
+    )
+    return Mesh(vertices=v, colors=colors, indices=faces)
+
+
+def test_no_class_starvation_in_crowded_frame(two_model_setup):
+    """One dominant class must not crowd other classes out of the candidate
+    list (round-2 weakness #5: a single shared top_k=512 let N classes
+    compete for 512 slots; the reference matches each class with its own
+    unbounded list, src/HighLevelLinemod.cpp:145-164; top_k now scales with
+    the class count)."""
+    cam, settings, props, meshes, banks = two_model_setup
+    meshes = dict(meshes)
+    banks = dict(banks)
+    meshes["octa"] = octa_mesh()
+    banks["octa"] = build_template_bank(meshes["octa"], "octa", cam, settings, props)
+    det = MultiModelPoseDetection(banks, cam, settings, {c: props for c in banks})
+    assert det.state.cfg.top_k == 512 * 3
+
+    # flood the frame with 6 cubes; a single tetra and octa must survive
+    placements = [
+        ("cube", (-220.0, -110.0, 600.0)), ("cube", (-110.0, 110.0, 600.0)),
+        ("cube", (0.0, -110.0, 600.0)), ("cube", (110.0, 110.0, 600.0)),
+        ("cube", (220.0, -110.0, 600.0)), ("cube", (-220.0, 110.0, 600.0)),
+        ("tetra", (110.0, -110.0, 620.0)), ("octa", (-110.0, -110.0, 620.0)),
+    ]
+    depth_acc = np.zeros((480, 640), np.float32)
+    color_acc = np.zeros((480, 640, 3), np.float32)
+    for c, pos in placements:
+        rot = quat_to_mat(banks[c].quat[4]).astype(np.float32)
+        d, col = render_views(
+            mesh_to_arrays(meshes[c]), rot[None],
+            np.array([pos], np.float32), cam, with_color=True,
+        )
+        d = np.asarray(d)[0]
+        col = np.asarray(col)[0]
+        closer = (d > 0) & ((depth_acc == 0) | (d < depth_acc))
+        depth_acc = np.where(closer, d, depth_acc)
+        color_acc = np.where(closer[..., None], col, color_acc)
+    color = (color_acc * 255).astype(np.uint8)
+    depth = depth_acc.astype(np.uint16)
+
+    out = det.detect_all(color, depth, num_objects=6)
+    assert len(out["cube"]) >= 4, f"cubes: {len(out['cube'])}"
+    assert len(out["tetra"]) >= 1, "tetra starved out of the candidate list"
+    assert len(out["octa"]) >= 1, "octa starved out of the candidate list"
+    for c, want in [("tetra", (110.0, -110.0)), ("octa", (-110.0, -110.0))]:
+        got = out[c][0].translation
+        assert abs(got[0] - want[0]) < 25 and abs(got[1] - want[1]) < 25, c
+
+
 def test_single_class_restriction(two_model_setup):
     cam, settings, props, meshes, banks = two_model_setup
     det = MultiModelPoseDetection(banks, cam, settings, {c: props for c in banks})
