@@ -162,37 +162,43 @@ def band_planes_from_image(
 
     The device quantizes only the image rows its band's spread needs, plus an
     8-row halo covering the quantizer's receptive field (7x7 blur -> 3, Sobel
-    -> 1, vote -> 1), so the result is bit-identical to quantizing the full
-    image: interior rows see identical inputs, and the image's replicate
-    padding is reproduced by pre-padding before the slice. Rows past the real
-    image are forced to zero orientation, matching the full path's zero
-    padding. Returns [8, T, T, rows/n_bands, stride] uint8.
+    -> 1, vote -> 1 for color; shift 1 + vote 1 for normals). Boundary
+    semantics are subtle: the quantizers pad stage-wise (pad->smooth->
+    pad->sobel), so conv(conv(pad_wide(img))) != the full path at the true
+    image edges. The band slice is therefore CLAMPED to [0, H] — the first
+    and last bands' slices start/end exactly at the real image boundary, so
+    the quantizer's own internal padding applies to the true edge rows and
+    every row is bit-identical to quantizing the full image. Rows past the
+    t-cropped extent are forced to zero orientation, matching the full
+    path's zero padding. Returns [8, T, T, rows/n_bands, stride] uint8.
 
     quantize_fn: img-slice -> (one-hot orientations, _) — e.g.
     ops.gradients.quantize_color_gradients or ops.normals.quantize_normals.
     """
     HALO = 8
-    h, w = img.shape[:2]
-    h -= h % t
-    w -= w % t
-    img = img[:h, :w]
+    h_img, w_img = img.shape[:2]
+    h = h_img - h_img % t
+    w = w_img - w_img % t
     ch, cw, rows, stride = linear_plane_shape(h, w, t, max_cells)
     if rows % n_bands:
         raise ValueError(f"rows {rows} not divisible by n_bands {n_bands}")
     bh = rows // n_bands
     bh_px = bh * t
-    pad_rows = ((HALO, rows * t - h + t + HALO),) + ((0, 0),) * (img.ndim - 1)
-    imgp = jnp.pad(img, pad_rows, mode="edge")
+    need = bh_px + t  # spread of the band's rows reads t-1 rows below it
+    sh = min(need + 2 * HALO, h_img)  # static slice height, full width
+    start = jnp.clip(band * bh_px - HALO, 0, h_img - sh)
     sl = jax.lax.dynamic_slice(
-        imgp,
-        (band * bh_px,) + (0,) * (img.ndim - 1),
-        (bh_px + t + 2 * HALO,) + img.shape[1:],
+        img, (start,) + (0,) * (img.ndim - 1), (sh,) + img.shape[1:]
     )
-    quant = quantize_fn(sl)[0][HALO : HALO + bh_px + t]
-    # zero orientations past the real image (the full path pads spread with
-    # zeros there)
-    row0 = band * bh_px
-    gidx = row0 + jnp.arange(bh_px + t)
+    quant_sl = quantize_fn(sl)[0][:, :w]
+    # place the wanted rows [band*bh_px, band*bh_px + need) of the quantized
+    # full image; zero-pad below so bands past the image never clamp the
+    # dynamic slice onto wrong rows
+    quant_pad = jnp.pad(quant_sl, ((0, rows * t + t), (0, 0)))
+    quant = jax.lax.dynamic_slice(quant_pad, (band * bh_px - start, 0), (need, w))
+    # zero orientations past the t-cropped image (the full path quantizes the
+    # full image, crops to [h, w], and pads the spread with zeros below)
+    gidx = band * bh_px + jnp.arange(need)
     quant = jnp.where((gidx < h)[:, None], quant, 0)
     spread = spread_orientations(quant, t)[:bh_px]
     s = spread.reshape(bh, t, cw, t).transpose(1, 3, 0, 2)  # [T, T, bh, cw]
