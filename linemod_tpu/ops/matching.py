@@ -334,8 +334,10 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
             vals = coarse_flat[idx].astype(jnp.int32)  # [C, F, G]
             return vals.sum(axis=1)  # [C, G]
 
-        n_chunks = state.off_coarse.shape[0] // cfg.template_chunk
-        off_chunks = state.off_coarse.reshape(n_chunks, cfg.template_chunk, -1)
+        # clamp so a tp shard smaller than the configured chunk still works
+        chunk = min(cfg.template_chunk, state.off_coarse.shape[0])
+        n_chunks = state.off_coarse.shape[0] // chunk
+        off_chunks = state.off_coarse.reshape(n_chunks, chunk, -1)
         scores = jax.lax.map(chunk_scores, off_chunks).reshape(-1, grid.shape[0])
 
     gy = jnp.broadcast_to(jnp.arange(ch, dtype=jnp.int32)[:, None], (ch, cw)).reshape(-1)

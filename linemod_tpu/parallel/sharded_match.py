@@ -106,10 +106,12 @@ def _gathered_planes_band(modalities, t, max_cells, n_bands, shape):
         )
         for img, fn in modalities
     ]
-    local = jnp.concatenate(parts, axis=0)  # [P, rows/tp, stride]
-    full = jax.lax.all_gather(local, "tp", axis=1, tiled=True)  # [P, rows, stride]
-    zero = jnp.zeros((1, rows, stride), jnp.uint8)
-    return jnp.concatenate([full, zero], axis=0)
+    # the zero plane rides along as a zero band: its bands gather back into a
+    # full zero plane, so the gather's output IS the final [P+1] plane stack —
+    # no post-gather full-size concat copy (a few MB of HBM traffic saved)
+    zero = jnp.zeros((1, rows // n_bands, stride), jnp.uint8)
+    local = jnp.concatenate(parts + [zero], axis=0)  # [P+1, rows/tp, stride]
+    return jax.lax.all_gather(local, "tp", axis=1, tiled=True)
 
 
 def make_sharded_matcher(state: MatchState, mesh: Mesh):

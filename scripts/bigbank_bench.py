@@ -185,10 +185,13 @@ def main():
             cb = linearized_response_planes_band(
                 q1, _scfg.t_coarse, _st.max_cells_coarse, 0, _tp
             ).reshape(-1, rows_c // _tp, stride_c)
-            fine_planes = jnp.concatenate(
-                [jnp.tile(fb, (1, _tp, 1)), jnp.zeros((1, rows_f, stride_f), jnp.uint8)], 0)
-            coarse_planes = jnp.concatenate(
-                [jnp.tile(cb, (1, _tp, 1)), jnp.zeros((1, rows_c, stride_c), jnp.uint8)], 0)
+            # zero plane rides along as a zero band (mirrors _gathered_planes_band)
+            fbz = jnp.concatenate(
+                [fb, jnp.zeros((1, rows_f // _tp, stride_f), jnp.uint8)], 0)
+            cbz = jnp.concatenate(
+                [cb, jnp.zeros((1, rows_c // _tp, stride_c), jnp.uint8)], 0)
+            fine_planes = jnp.tile(fbz, (1, _tp, 1))
+            coarse_planes = jnp.tile(cbz, (1, _tp, 1))
             top_sim, ct, cgy, cgx = candidate_cut_streaming(
                 _st, coarse_planes, TOP_K
             )

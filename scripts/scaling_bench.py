@@ -148,12 +148,15 @@ def main():
                 downsample2(c), scfg.t_coarse, _sstate.max_cells_coarse,
                 jnp.int32(0), _tp, quantize_color_gradients,
             ).reshape(-1, rows_c // _tp, stride_c)
-            fine_planes = jnp.concatenate(
-                [jnp.tile(fb, (1, _tp, 1)),
-                 jnp.zeros((1, rows_f, stride_f), jnp.uint8)], axis=0)
-            coarse_planes = jnp.concatenate(
-                [jnp.tile(cb, (1, _tp, 1)),
-                 jnp.zeros((1, rows_c, stride_c), jnp.uint8)], axis=0)
+            # the zero plane rides along as a zero band (mirrors
+            # _gathered_planes_band): the tile stands in for the all_gather's
+            # receive-side writes, and there is no post-gather concat
+            fbz = jnp.concatenate(
+                [fb, jnp.zeros((1, rows_f // _tp, stride_f), jnp.uint8)], axis=0)
+            cbz = jnp.concatenate(
+                [cb, jnp.zeros((1, rows_c // _tp, stride_c), jnp.uint8)], axis=0)
+            fine_planes = jnp.tile(fbz, (1, _tp, 1))
+            coarse_planes = jnp.tile(cbz, (1, _tp, 1))
             # 2-3. local coarse scan + local cut (+ replicated merge over
             # tp*K gathered candidates)
             sim_c = coarse_similarity(_sstate, coarse_planes)
@@ -178,17 +181,32 @@ def main():
 
         t_dev = device_time(per_device, color, depth) - ovh
 
-        # exposed communication: the coarse-planes gather blocks the scan,
-        # but the fine-planes gather has no consumer until after the scan +
-        # cut, so XLA's latency-hiding scheduler overlaps it with the scan
-        # compute — only the part exceeding the scan time is exposed.
+        # fine-bands-only time: the compute that is independent of the
+        # coarse-planes gather, i.e. what XLA's latency-hiding scheduler
+        # (async all-gather-start/done) runs while that gather is in flight
+        def fine_bands_only(i, c, _tp=tp, _st=sstate):
+            c = c + i.astype(jnp.float32)
+            fb = band_planes_from_image(
+                c, scfg.t_fine, _st.max_cells_fine, jnp.int32(0), _tp,
+                quantize_color_gradients,
+            )
+            return fb.sum(dtype=jnp.int32).astype(jnp.float32)
+
+        t_fine_bands = max(0.0, device_time(fine_bands_only, color) - ovh)
+
+        # exposed communication: both plane gathers have independent compute
+        # to hide under — the coarse gather overlaps the fine-bands
+        # computation (measured above), the fine gather overlaps the coarse
+        # scan (no consumer until the refine) — so only the part of each
+        # exceeding its overlap window is exposed.
         fine_bytes = (8 * cfg.t_fine**2) * rows_f * stride_f
         coarse_bytes = (8 * cfg.t_coarse**2) * rows_c * stride_c
         scan_s = 0.8e-6 * (N_TEMPLATES // tp)  # measured ~0.8 us/template
         fine_gather = (tp - 1) / tp * fine_bytes / ICI_BW
+        coarse_gather = (tp - 1) / tp * coarse_bytes / ICI_BW
         comm = (
             3 * ICI_LAT
-            + (tp - 1) / tp * coarse_bytes / ICI_BW
+            + max(0.0, coarse_gather - t_fine_bands)
             + max(0.0, fine_gather - scan_s)
             # candidate merge gather: 4 arrays x K x 4 B from tp-1 peers
             + (tp - 1) * 4 * TOP_K * 4 / ICI_BW
@@ -200,6 +218,7 @@ def main():
         results["strong_scaling"].append({
             "tp": tp,
             "per_device_compute_ms": t_dev * 1e3,
+            "fine_bands_overlap_window_ms": t_fine_bands * 1e3,
             "modeled_comm_ms": comm * 1e3,
             "ms_per_frame": t_tp * 1e3,
             "efficiency_pct": 100.0 * eff,

@@ -100,6 +100,26 @@ def test_band_planes_reassemble_exactly(cube_bank_scene):
             np.testing.assert_array_equal(got, full, err_msg=f"t={t} bands={n_bands}")
 
 
+def test_sharded_chunk_larger_than_shard(cube_bank_scene):
+    """A tp shard smaller than template_chunk must clamp, not crash
+    (regression: tp=8 over a 16-template bank with template_chunk=16)."""
+    bank, color, depth = cube_bank_scene
+    cfg = MatchConfig(top_k=64, template_chunk=16, threshold=80.0)
+    padded = _pad_bank(bank, 16)
+    state = build_match_state(padded, cfg)
+    single = {k: np.asarray(v) for k, v in match_templates(
+        state, jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32)
+    ).items()}
+    mesh = make_mesh(8, dp=1)  # n_shard = 2 < template_chunk = 16
+    sstate = shard_state(state, mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    out = matcher(
+        jnp.asarray(color[None], jnp.float32), jnp.asarray(depth[None], jnp.float32)
+    )
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(single[k], np.asarray(out[k])[0], err_msg=k)
+
+
 def test_sharded_batch_dp(cube_bank_scene):
     bank, color, depth = cube_bank_scene
     cfg = MatchConfig(top_k=64, template_chunk=2)
