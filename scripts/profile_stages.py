@@ -59,7 +59,7 @@ def main():
     use_pallas = jax.default_backend() == "tpu"
     bank = make_synthetic_bank(N_TEMPLATES, bbox_wh=96, image_wh=(640, 480))
     cfg = MatchConfig(width=640, height=480, top_k=512, template_chunk=256,
-                      use_pallas=use_pallas, approx_topk=use_pallas)
+                      use_pallas=use_pallas, approx_topk=False)
     state = build_match_state(bank, cfg)
     rng = np.random.default_rng(0)
     color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))

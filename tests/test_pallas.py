@@ -66,6 +66,34 @@ def test_pallas_invalid_features_contribute_zero(rng):
     assert tiles.max() <= 40
 
 
+def test_pallas_coarse_dual_modality_groups(rng):
+    """F=128 (dual) accumulates two packed 64-feature groups; must equal the
+    gather reference (and its byte lanes must not overflow across groups)."""
+    n = 8
+    bank = make_synthetic_bank(n, seed=11, bbox_wh=48, dual_modality=True)
+    cfg = MatchConfig(width=320, height=240, template_chunk=n, t_fine=5,
+                      dual_modality=True)
+    state = build_match_state(bank, cfg)
+    color = jnp.asarray(rng.uniform(0, 255, (120, 160, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(400, 900, (120, 160)).astype(np.float32))
+    planes = _planes_3d(color, depth, cfg.t_coarse, state.max_cells_coarse, True)
+
+    ch, cw, rows, stride = state.coarse_shape
+    flat = np.asarray(planes).reshape(-1)
+    off = np.asarray(state.off_coarse)
+    grid = (np.arange(ch)[:, None] * stride + np.arange(cw)[None, :]).reshape(-1)
+    ref = flat[off[:, :, None] + grid[None, None, :]].astype(np.int64).sum(1)
+
+    assert state.off3_coarse.shape[1] == 128
+    tiles = np.asarray(
+        coarse_scores_pallas(
+            planes, state.off3_coarse, state.max_cells_coarse, interpret=True
+        )
+    )
+    got = tiles[:, :ch, :cw].reshape(n, -1)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_fine_matches_gather_path(rng):
     """fine_scores_pallas == the XLA fine-refine gather for random candidates."""
     n = 16
