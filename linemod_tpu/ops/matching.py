@@ -71,6 +71,16 @@ class MatchConfig:
     # candidates, and tie order (sim desc, then global flat index asc) is
     # preserved because chunks arrive in ascending template order.
     scan_chunk: int = 0
+    # Blocked exact cut: batched per-block (this many templates per block)
+    # value top-K, then a deterministic re-rank of the tiny merged set by
+    # (sim desc, global flat index asc). Same top-K VALUES as the flat
+    # lax.top_k — every global top-K entry is inside its block's top-K —
+    # at a fraction of its cost on TPU, where a single huge top_k is
+    # sort-bound. Which representatives of a >top_k-fold tie WITHIN one
+    # block survive is lowering-dependent; such ties sit far below
+    # threshold in practice and finalize_matches canonicalizes invalid
+    # slots, so outputs stay deterministic. 0 = flat cut.
+    cut_block_rows: int = 0
 
 
 @functools.partial(
@@ -353,21 +363,44 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
     return jnp.where(fits, sim_c, -1.0)
 
 
+def rank_by_sim_then_index(sim: jax.Array, idx: jax.Array, top_k: int):
+    """Deterministic (sim desc, index asc) top-K of a SMALL candidate set.
+
+    One lexicographic lax.sort over the pair — exact composite ordering with
+    no reliance on top_k tie stability. Returns (top_sim, top_idx)."""
+    neg_sim, idx_sorted = jax.lax.sort((-sim, idx), num_keys=2)
+    return -neg_sim[:top_k], idx_sorted[:top_k]
+
+
 def candidate_cut(cfg: MatchConfig, sim_c: jax.Array, cw: int, top_k: int):
     """Static top-K (template, cell) candidates from dense coarse similarity.
 
-    sim_c: [N, G]. Ties resolve by flat (template, cell) index ascending, so
-    a sharded per-shard cut + merge reproduces the single-device cut exactly
-    (shards own contiguous template ranges).
+    sim_c: [N, G]. Candidates rank by (sim desc, flat (template, cell) index
+    asc), so a sharded per-shard cut + merge reproduces the single-device
+    cut (shards own contiguous template ranges). With cut_block_rows the cut
+    is decomposed into a batched per-block value top-K plus a deterministic
+    re-rank of the merged survivors (see MatchConfig.cut_block_rows).
     Returns (top_sim, cand_t, cand_gy, cand_gx), each [top_k]."""
-    n_cells = sim_c.shape[1]
-    flat_sim = sim_c.reshape(-1)
+    n, n_cells = sim_c.shape
+    rpb = cfg.cut_block_rows
     if cfg.approx_topk:
         top_sim, top_idx = jax.lax.approx_max_k(
-            flat_sim, top_k, recall_target=0.99, aggregate_to_topk=True
+            sim_c.reshape(-1), top_k, recall_target=0.99, aggregate_to_topk=True
+        )
+    elif rpb and n > rpb:
+        if n % rpb:
+            raise ValueError(f"bank rows {n} not a multiple of cut_block_rows {rpb}")
+        nb = n // rpb
+        blk = sim_c.reshape(nb, rpb * n_cells)
+        s, li = jax.lax.top_k(blk, top_k)  # per-block value top-K
+        gi = li.astype(jnp.int32) + (
+            jnp.arange(nb, dtype=jnp.int32) * (rpb * n_cells)
+        )[:, None]
+        top_sim, top_idx = rank_by_sim_then_index(
+            s.reshape(-1), gi.reshape(-1), top_k
         )
     else:
-        top_sim, top_idx = jax.lax.top_k(flat_sim, top_k)
+        top_sim, top_idx = jax.lax.top_k(sim_c.reshape(-1), top_k)
     cand_t = (top_idx // n_cells).astype(jnp.int32)
     cand_g = (top_idx % n_cells).astype(jnp.int32)
     return top_sim, cand_t, cand_g // cw, cand_g % cw
@@ -404,19 +437,14 @@ def candidate_cut_streaming(state: MatchState, coarse_planes, top_k: int):
             w_coarse=sl(state.w_coarse) if state.w_coarse is not None else None,
         )
         sim_c = coarse_similarity(sub, coarse_planes)  # [chunk, G]
-        flat = sim_c.reshape(-1)
-        if cfg.approx_topk:
-            c_sim, c_idx = jax.lax.approx_max_k(
-                flat, top_k, recall_target=0.99, aggregate_to_topk=True
-            )
-        else:
-            c_sim, c_idx = jax.lax.top_k(flat, top_k)
-        # global flat position of each chunk candidate
-        c_pos = (c_idx // n_cells + t0) * n_cells + c_idx % n_cells
+        # per-chunk cut (blocked when cut_block_rows is set), then a
+        # deterministic composite-key merge into the running top-K
+        c_sim, ct, cgy, cgx = candidate_cut(cfg, sim_c, cw, top_k)
+        c_pos = (ct + t0) * n_cells + cgy * cw + cgx
         cat_sim = jnp.concatenate([run_sim, c_sim])
         cat_pos = jnp.concatenate([run_pos, c_pos])
-        m_sim, mi = jax.lax.top_k(cat_sim, top_k)
-        return (m_sim, cat_pos[mi]), None
+        m_sim, m_pos = rank_by_sim_then_index(cat_sim, cat_pos, top_k)
+        return (m_sim, m_pos), None
 
     init = (
         jnp.full((top_k,), -jnp.inf, jnp.float32),
@@ -485,15 +513,21 @@ def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
 
 
 def finalize_matches(cfg: MatchConfig, cand_t, sim, x, y, top_sim):
-    """Threshold + similarity-sort the refined candidates into the match dict."""
+    """Threshold + similarity-sort the refined candidates into the match dict.
+
+    Invalid slots are canonicalized to sentinels (id -1, x/y 0, sim -1) so
+    the output is bit-deterministic even where the candidate cut's choice of
+    below-threshold tie representatives is lowering-dependent (see
+    MatchConfig.cut_block_rows)."""
     valid = (sim >= cfg.threshold) & (top_sim > 0)
     order = jnp.argsort(-jnp.where(valid, sim, -1.0))
+    v = valid[order]
     return {
-        "template_id": cand_t[order],
-        "x": x[order],
-        "y": y[order],
-        "similarity": sim[order],
-        "valid": valid[order],
+        "template_id": jnp.where(v, cand_t[order], -1),
+        "x": jnp.where(v, x[order], 0),
+        "y": jnp.where(v, y[order], 0),
+        "similarity": jnp.where(v, sim[order], -1.0),
+        "valid": v,
     }
 
 

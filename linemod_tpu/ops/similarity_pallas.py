@@ -40,64 +40,30 @@ MAX_F = 64
 
 
 def _make_coarse_kernel(rows_used: int, lanes_used: int):
-    rp = rows_used // 4  # packed rows: 4 uint8 plane rows per int32 word
-
     def _coarse_kernel(off_ref, planes_ref, out_ref):
         """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
-        stride] VMEM uint8; out_ref: [1, TILE_H, TILE_W] VMEM int32.
+        stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
 
-        Packed accumulation: response bytes stay 4-to-an-int32-word
-        (pltpu.bitcast sublane packing, row 4k = low byte) through the rolls
-        and the add, so every per-feature op touches 1/4 the vector state of
-        the unpacked form. The row shift sy splits into a whole-word roll
-        (sy//4) plus a byte funnel-shift between adjacent words (sy%4);
-        Mosaic's dynamic_rotate is 32-bit-only, which packing satisfies by
-        construction. Byte lanes cannot overflow: <= 63 real features per
-        64-slot group (extract.NUM_FEATURES) x max response 4 = 252 < 256;
-        dual-modality (F=128) accumulates each 64-group in its own packed
-        register. Lane rotation may wrap when lanes_used < sx + TILE_W; the
-        wrapped values land in output lanes >= lanes_used - max_shift >=
-        grid width (linear_plane_shape invariant), which the caller crops
-        away."""
+        Lane rotation may wrap when lanes_used < sx + TILE_W; the wrapped
+        values land in output lanes >= lanes_used - max_shift >= grid width
+        (linear_plane_shape invariant), which the caller crops away."""
         n_feat = off_ref.shape[1]
 
         def body(f, acc):
             p = off_ref[0, f, 0]
             sy = off_ref[0, f, 1]
             sx = off_ref[0, f, 2]
-            q = sy // 4
-            s = sy % 4
-            w = pltpu.bitcast(
-                planes_ref[p, 0:rows_used, 0:lanes_used], jnp.int32
-            )  # [rp, lanes]
-            # Mosaic's dynamic_rotate needs a multiple-of-8 sublane count;
-            # zero-pad to 16 packed words (rows beyond the real plane are
-            # never consumed: needed word indices stay < rp by the
-            # linear_plane_shape row invariant, and padded rows land beyond
-            # the grid rows the caller crops)
-            w = jnp.concatenate(
-                [w, jnp.zeros((16 - rp, lanes_used), jnp.int32)], axis=0
-            )
-            rolled = pltpu.roll(w, 16 - q, axis=0)  # rolled[k] = w[(k+q) % 16]
-            w1 = rolled[0 : TILE_H // 4]
-            w2 = rolled[1 : TILE_H // 4 + 1]
-            # byte funnel shift: out word k, byte j = plane row 4k + sy + j.
-            # Plane bytes are responses 0..4, so the int32 arithmetic >> is
-            # a logical shift (sign bit never set). s == 0 must not shift w2
-            # by 32 (undefined); the where() masks it out entirely then.
-            comb = (w1 >> (8 * s)) | jnp.where(s == 0, 0, w2 << ((32 - 8 * s) & 31))
-            comb = pltpu.roll(comb, lanes_used - sx, axis=1)
-            return acc + comb[:, 0:TILE_W]
+            # static row/lane crop (sy <= rows_used - TILE_H)
+            blk = planes_ref[p, 0:rows_used, 0:lanes_used].astype(jnp.int32)
+            blk = pltpu.roll(blk, rows_used - sy, axis=0)
+            blk = pltpu.roll(blk[0:TILE_H], lanes_used - sx, axis=1)
+            return acc + blk[:, 0:TILE_W]
 
-        groups = []
-        for g in range(n_feat // MAX_F):
-            acc = jax.lax.fori_loop(
-                g * MAX_F, (g + 1) * MAX_F, body,
-                jnp.zeros((TILE_H // 4, TILE_W), jnp.int32),
-                unroll=MAX_F,  # Pallas lowering supports only full unroll or 1
-            )
-            groups.append(pltpu.bitcast(acc, jnp.uint8).astype(jnp.int32))
-        out_ref[0] = sum(groups)
+        acc = jax.lax.fori_loop(
+            0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
+            unroll=n_feat,  # Pallas lowering supports only full unroll or 1
+        )
+        out_ref[0] = acc
 
     return _coarse_kernel
 
@@ -115,13 +81,7 @@ def coarse_scores_pallas(
     rows, stride = planes.shape[1], planes.shape[2]
     rows_used = min(rows, ((TILE_H + max_shift + 7) // 8) * 8)
     lanes_used = min(stride, ((TILE_W + max_shift + 127) // 128) * 128)
-    if (
-        rows_used % 8
-        or rows_used < TILE_H + 4  # packed funnel shift reads one extra word
-        or rows_used > 64  # packed words must pad to 16 sublanes
-        or mf % MAX_F
-        or (lanes_used < stride and max_shift > lanes_used - TILE_W)
-    ):
+    if rows_used % 8 or (lanes_used < stride and max_shift > lanes_used - TILE_W):
         raise ValueError(f"unsupported plane geometry {planes.shape}, {max_shift}")
     return pl.pallas_call(
         _make_coarse_kernel(rows_used, lanes_used),
@@ -167,31 +127,20 @@ def _fine_kernel(cand_t_ref, base_ref, off_ref, planes_ref, out_ref):
         y = by + off_ref[0, f, 1]
         x = bx + off_ref[0, f, 2]
         # aligned 16-row x `lanes`-lane block, clamped in-bounds; residual via
-        # packed roll + byte funnel shift (see the coarse kernel — same
-        # packed-accumulation scheme, 4 plane rows per int32 word). Lane
-        # wrap, when stride == lanes, stays >= stride - x > SCALE output
-        # lanes — see linear_plane_shape invariant.
-        # 32 uint8 rows -> 8 packed words: a multiple-of-8 sublane count, as
-        # Mosaic's dynamic_rotate requires (rows_f >= 32 always: >= 32-row
-        # tile + max_cells in linear_plane_shape)
-        yb = pl.multiple_of(jnp.minimum((y // 8) * 8, rows - 32), 8)
+        # roll (lane wrap, when stride == lanes, stays >= stride - x > SCALE
+        # output lanes — see linear_plane_shape invariant)
+        yb = pl.multiple_of(jnp.minimum((y // 8) * 8, rows - 16), 8)
         xb = pl.multiple_of(jnp.minimum((x // 128) * 128, stride - lanes), 128)
-        d = y - yb  # <= 24; s > 0 implies q <= 5 so the funnel never wraps
-        q = d // 4
-        s = d % 4
-        w = pltpu.bitcast(planes_ref[p, pl.ds(yb, 32), pl.ds(xb, lanes)], jnp.int32)
-        rolled = pltpu.roll(w, 8 - q, axis=0)  # rolled[k] = w[(k+q) % 8]
-        comb = (rolled[0:2] >> (8 * s)) | jnp.where(
-            s == 0, 0, rolled[1:3] << ((32 - 8 * s) & 31)
-        )
-        comb = pltpu.roll(comb, lanes - (x - xb), axis=1)
-        return acc + comb[:, 0:TILE_W]
+        blk = planes_ref[p, pl.ds(yb, 16), pl.ds(xb, lanes)].astype(jnp.int32)
+        blk = pltpu.roll(blk, 16 - (y - yb), axis=0)
+        blk = pltpu.roll(blk[0:8], lanes - (x - xb), axis=1)
+        return acc + blk[:, 0:TILE_W]
 
     acc = jax.lax.fori_loop(
-        0, n_feat, body, jnp.zeros((2, TILE_W), jnp.int32),
+        0, n_feat, body, jnp.zeros((8, TILE_W), jnp.int32),
         unroll=n_feat,  # Pallas lowering supports only full unroll or 1
     )
-    out_ref[0] = pltpu.bitcast(acc, jnp.uint8).astype(jnp.int32)
+    out_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -44,6 +44,7 @@ from ..ops.matching import (
     coarse_similarity,
     finalize_matches,
     fine_refine,
+    rank_by_sim_then_index,
 )
 from ..ops.normals import quantize_normals
 from ..ops.spread import band_planes_from_image
@@ -177,12 +178,17 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             g_t = jax.lax.all_gather(cand_t, "tp", tiled=True)
             g_gy = jax.lax.all_gather(cand_gy, "tp", tiled=True)
             g_gx = jax.lax.all_gather(cand_gx, "tp", tiled=True)
-            # replicated merge: identical result on every device; ties by
-            # gather position = global flat (template, cell) order
-            m_sim, m_idx = jax.lax.top_k(g_sim, cfg.top_k)
-            m_t = g_t[m_idx]
-            m_gy = g_gy[m_idx]
-            m_gx = g_gx[m_idx]
+            # replicated deterministic merge: rank by (sim desc, global flat
+            # (template, cell) index asc) — the same composite order the
+            # single-device cut uses, with no reliance on top_k tie
+            # stability
+            n_cells = state.coarse_shape[0] * cw
+            g_flat = g_t * n_cells + g_gy * cw + g_gx
+            m_sim, m_flat = rank_by_sim_then_index(g_sim, g_flat, cfg.top_k)
+            m_t = m_flat // n_cells
+            m_g = m_flat % n_cells
+            m_gy = m_g // cw
+            m_gx = m_g % cw
 
             # 4. fine refine of a static K/tp slice (fine tables replicated)
             s0 = shard_idx * k_slice

@@ -92,7 +92,7 @@ def main():
     )
     cfg = MatchConfig(
         width=640, height=480, top_k=TOP_K, template_chunk=256,
-        use_pallas=use_pallas, approx_topk=False,
+        use_pallas=use_pallas, approx_topk=False, cut_block_rows=256,
     )
     state = build_match_state(bank, cfg)
     rng = np.random.default_rng(0)
@@ -127,7 +127,7 @@ def main():
         scfg = MatchConfig(
             width=640, height=480, top_k=TOP_K,
             template_chunk=min(256, n_shard),
-            use_pallas=use_pallas, approx_topk=False,
+            use_pallas=use_pallas, approx_topk=False, cut_block_rows=256,
         )
         sstate = build_match_state(shard_bank, scfg)
         k_slice = TOP_K // tp
