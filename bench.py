@@ -22,7 +22,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 EXAMPLE = os.path.join(REPO, "example")
 CPU_BASELINE_FILE = os.path.join(REPO, "baseline_cpu.json")
-FRAMES = 30
+FRAMES = 60
+REPEATS = 3  # median-of-REPEATS for the headline (transport rate is noisy)
 
 
 def run_pipeline(report_accuracy: bool):
@@ -65,11 +66,19 @@ def run_pipeline(report_accuracy: bool):
             vsd = bench.score_vsd(scene, gt, poses[0])
             add = bench.score_add(gt, poses[0])
 
-    # production serving shape: frames stream in, one frame always in flight
-    # (detect_stream), so each frame costs device time, not round-trip time
-    t0 = time.time()
-    n_done = sum(1 for _ in det.detect_stream((color, depth) for _ in range(FRAMES)))
-    dt = (time.time() - t0) / n_done
+    # production serving shape: frames stream in with several in flight
+    # (detect_stream overlaps upload, device compute, and the ~50 ms fetch
+    # round-trips of the remote transport), so each frame costs
+    # max(upload, device) time, not round-trip time. The transport rate is
+    # noisy run-to-run, so the headline is the median of REPEATS runs.
+    rates = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        n_done = sum(
+            1 for _ in det.detect_stream((color, depth) for _ in range(FRAMES))
+        )
+        rates.append((time.time() - t0) / n_done)
+    dt = sorted(rates)[len(rates) // 2]
 
     # disk-to-pose: the same stream but read from an on-disk PNG sequence
     # through the native prefetch loader (decode of frame i+1 overlaps frame

@@ -204,19 +204,30 @@ class PoseDetection:
             packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))
         return packed, color_c, depth_c
 
-    def detect_stream(self, frames, num_objects: int = 1, pipeline_depth: int = 2):
+    def detect_stream(
+        self,
+        frames,
+        num_objects: int = 1,
+        pipeline_depth: int = 4,
+        workers: int = 3,
+    ):
         """Generator: detect over an iterable of (color, depth) with up to
-        `pipeline_depth` frames in flight.
+        `pipeline_depth` frames in flight, collected by `workers` threads.
 
-        Collection runs on a worker thread: the device fetch (HTTP wait) and
+        Collection runs on worker threads: the device fetch (HTTP wait) and
         the host quantization (ctypes) both release the GIL, so frame k's
-        readback+postprocess overlaps frame k+1's quantize+upload — per-frame
-        cost approaches max(host work, link time, device time) instead of
-        their sum."""
+        readback+postprocess overlaps frame k+1's quantize+upload. On
+        high-latency device transports the per-frame fetch round-trip (~50 ms
+        measured on the axon tunnel) dwarfs both device compute (~5 ms) and
+        the frame upload (~11 ms), so SEVERAL fetches must be in flight at
+        once for the stream rate to reach the upload/device ceiling — one
+        collector thread caps the stream at ~1/RTT-ish rates regardless of
+        device speed. Results yield in submission order (the future deque
+        preserves it)."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(1) as ex:
+        with ThreadPoolExecutor(max(1, workers)) as ex:
             futs: collections.deque = collections.deque()
             for color, depth in frames:
                 handle = self.detect_submit(color, depth)
