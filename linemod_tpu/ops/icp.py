@@ -139,6 +139,22 @@ def verify_mean_depth_diff(depth_scene, depth_render):
     return jnp.sum(jnp.where(m, diff, 0.0)) / cnt.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "w", "h"))
+def _verify_means_batch(marr, rots, trans, depth_scene, fx, fy, cx, cy, w, h):
+    """Render every candidate pose and score it against the scene in ONE
+    device program (lax.map over poses) — one dispatch + one scalar-vector
+    fetch for the whole group instead of a render+fetch round trip per pose
+    (the reference's loop, src/HighLevelLinemodIcp.cpp:93-137, is host-local
+    so a per-pose loop cost it nothing; on a remote transport each fetch is
+    ~25-50 ms)."""
+
+    def one(rt):
+        dr = render(marr, rt[0], rt[1], fx, fy, cx, cy, width=w, height=h)
+        return verify_mean_depth_diff(depth_scene, dr)
+
+    return jax.lax.map(one, (rots, trans))
+
+
 class IcpRefiner:
     """Pipeline-facing wrapper holding the (subsampled) model cloud.
 
@@ -227,24 +243,38 @@ class IcpRefiner:
         ]
 
     def best_verified(self, depth: np.ndarray, poses: list):
-        """Render each refined pose and accept the best if mean |delta| <= 35 mm."""
+        """Render each refined pose and accept the best if mean |delta| <= 35 mm.
+
+        All candidate renders + scores run as one batched device program with
+        one fetch; the pose batch is padded to a power of two so the program
+        compiles once per batch-size bucket (padding repeats the last pose,
+        which can only tie — argmin's first-match rule still picks the real
+        slot)."""
         if not poses or self.marr is None:
             return poses[0] if poses else None
-        depthf = jnp.asarray(depth, jnp.float32)
-        means = []
-        for p in poses:
-            dr = render(
+        n = len(poses)
+        pad_to = max(4, 1 << (n - 1).bit_length())
+        padded = poses + [poses[-1]] * (pad_to - n)
+        rots = jnp.asarray(
+            np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)
+        )
+        trans = jnp.asarray(
+            np.stack([p.translation for p in padded]).astype(np.float32)
+        )
+        means = np.asarray(
+            _verify_means_batch(
                 self.marr,
-                jnp.asarray(quat_to_mat(p.quaternion), jnp.float32),
-                jnp.asarray(p.translation, jnp.float32),
+                rots,
+                trans,
+                jnp.asarray(depth, jnp.float32),
                 self.cam.fx,
                 self.cam.fy,
                 self.cam.width / 2.0,
                 self.cam.height / 2.0,
-                width=self.cam.width,
-                height=self.cam.height,
+                self.cam.width,
+                self.cam.height,
             )
-            means.append(float(verify_mean_depth_diff(depthf, dr)))
+        )[:n]
         best = int(np.argmin(means))
         if means[best] <= VERIFY_ACCEPT_MM:
             return poses[best]

@@ -344,9 +344,14 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
             vals = coarse_flat[idx].astype(jnp.int32)  # [C, F, G]
             return vals.sum(axis=1)  # [C, G]
 
-        # clamp so a tp shard smaller than the configured chunk still works
-        chunk = min(cfg.template_chunk, state.off_coarse.shape[0])
-        n_chunks = state.off_coarse.shape[0] // chunk
+        # clamp so a tp shard smaller than the configured chunk still works,
+        # and shrink to a divisor so a shard that is larger than the chunk
+        # but not a multiple of it (e.g. 384 rows, chunk 256) still reshapes
+        n_rows = state.off_coarse.shape[0]
+        chunk = min(cfg.template_chunk, n_rows)
+        if n_rows % chunk:
+            chunk = max(d for d in range(chunk, 0, -1) if n_rows % d == 0)
+        n_chunks = n_rows // chunk
         off_chunks = state.off_coarse.reshape(n_chunks, chunk, -1)
         scores = jax.lax.map(chunk_scores, off_chunks).reshape(-1, grid.shape[0])
 
@@ -383,13 +388,18 @@ def candidate_cut(cfg: MatchConfig, sim_c: jax.Array, cw: int, top_k: int):
     Returns (top_sim, cand_t, cand_gy, cand_gx), each [top_k]."""
     n, n_cells = sim_c.shape
     rpb = cfg.cut_block_rows
+    if rpb and n > rpb and n % rpb:
+        # shard/bank shapes need not divide the configured block size (e.g. a
+        # 2560-row bank on tp=4 gives 640-row shards): shrink to the largest
+        # divisor — the blocked path is a pure optimization with identical
+        # results, so any block size is legal, and divisor 1 degenerates to
+        # a per-row top-K which is still exact (just slower).
+        rpb = max(d for d in range(rpb, 0, -1) if n % d == 0)
     if cfg.approx_topk:
         top_sim, top_idx = jax.lax.approx_max_k(
             sim_c.reshape(-1), top_k, recall_target=0.99, aggregate_to_topk=True
         )
     elif rpb and n > rpb:
-        if n % rpb:
-            raise ValueError(f"bank rows {n} not a multiple of cut_block_rows {rpb}")
         nb = n // rpb
         blk = sim_c.reshape(nb, rpb * n_cells)
         s, li = jax.lax.top_k(blk, top_k)  # per-block value top-K

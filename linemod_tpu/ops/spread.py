@@ -193,8 +193,12 @@ def band_planes_from_image(
     quant_sl = quantize_fn(sl)[0][:, :w]
     # place the wanted rows [band*bh_px, band*bh_px + need) of the quantized
     # full image; zero-pad below so bands past the image never clamp the
-    # dynamic slice onto wrong rows
-    quant_pad = jnp.pad(quant_sl, ((0, rows * t + t), (0, 0)))
+    # dynamic slice onto wrong rows. Only the worst-case overhang is needed:
+    # the slice start is at most rows*t - bh_px - (h_img - sh) (last band,
+    # start clamped at h_img - sh), so start+need <= rows*t + t - h_img + sh
+    # <= rows*t + t - sh + sh when sh == h_img — pad max(0, rows*t + t - sh)
+    # instead of a full plane-height copy per band per modality.
+    quant_pad = jnp.pad(quant_sl, ((0, max(0, rows * t + t - sh)), (0, 0)))
     quant = jax.lax.dynamic_slice(quant_pad, (band * bh_px - start, 0), (need, w))
     # zero orientations past the t-cropped image (the full path quantizes the
     # full image, crops to [h, w], and pads the spread with zeros below)
