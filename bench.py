@@ -103,7 +103,56 @@ def run_pipeline(report_accuracy: bool):
                 disk_fps = n_disk / (time.time() - t0)
     except Exception:
         pass
-    return 1.0 / dt, vsd, add, len(poses), disk_fps
+
+    # --- secondary variants (reported, not the headline; skipped for the
+    # one-off CPU-baseline worker) ------------------------------------------
+    import dataclasses
+
+    if not report_accuracy:
+        return 1.0 / dt, vsd, add, len(poses), disk_fps, None, None
+
+    def stream_fps(d, n_frames=30):
+        d.detect(color, depth, 1)  # warm/compile
+        t0 = time.time()
+        n = sum(1 for _ in d.detect_stream((color, depth) for _ in range(n_frames)))
+        return n / (time.time() - t0)
+
+    # ICP-on (use icp: 1): per-group joint ICP refine + verify-by-render
+    # (src/PoseDetection.cpp:72-84); the shipped config matches the
+    # reference default of ICP off, so this is a separate number.
+    icp_fps = None
+    try:
+        from linemod_tpu.ops.icp import IcpRefiner
+        from linemod_tpu.ops.rasterizer import mesh_to_arrays
+
+        mesh_icp = load_ply("models/lagergehaeuse.ply")
+        settings_icp = dataclasses.replace(settings, use_icp=True)
+        icp = IcpRefiner(
+            mesh_icp,
+            cam,
+            settings.icp_subsampling_factor,
+            mesh_arrays=mesh_to_arrays(mesh_icp),
+        )
+        det_icp = PoseDetection(bank, cam, settings_icp, props, mesh=mesh_icp, icp=icp)
+        icp_fps = stream_fps(det_icp)
+    except Exception:
+        pass
+
+    # Dual-modality (ColorGradient + DepthNormal, T={5,8},
+    # src/HighLevelLinemod.cpp:26-35): its own bank; depth goes to the device.
+    dual_fps = None
+    try:
+        settings_dual = dataclasses.replace(settings, only_color_modality=False)
+        gen_dual = TemplateGenerator(cam, settings_dual, out_dir="banks_dual")
+        dual_path = gen_dual.bank_path("lagergehaeuse.ply")
+        if not os.path.exists(dual_path):
+            gen_dual.run(verbose=False)
+        bank_dual = TemplateBank.load(dual_path)
+        det_dual = PoseDetection(bank_dual, cam, settings_dual, props)
+        dual_fps = stream_fps(det_dual)
+    except Exception:
+        pass
+    return 1.0 / dt, vsd, add, len(poses), disk_fps, icp_fps, dual_fps
 
 
 def measure_cpu_baseline() -> float:
@@ -130,11 +179,13 @@ def measure_cpu_baseline() -> float:
 
 def main():
     if "--cpu-worker" in sys.argv:
-        fps, _, _, _, _ = run_pipeline(report_accuracy=False)
+        fps = run_pipeline(report_accuracy=False)[0]
         print(json.dumps({"fps": fps}))
         return
 
-    fps, vsd, add, n_poses, disk_fps = run_pipeline(report_accuracy=True)
+    fps, vsd, add, n_poses, disk_fps, icp_fps, dual_fps = run_pipeline(
+        report_accuracy=True
+    )
     try:
         cpu_fps = measure_cpu_baseline()
     except Exception:
@@ -153,6 +204,10 @@ def main():
         # secondary metric: disk-to-pose over an on-disk PNG sequence
         # (decode + prefetch + upload + detect), see run_pipeline
         result["disk_to_pose_fps"] = round(disk_fps, 3)
+    if icp_fps is not None:
+        result["icp_fps"] = round(icp_fps, 3)
+    if dual_fps is not None:
+        result["dual_fps"] = round(dual_fps, 3)
     print(json.dumps(result))
 
 

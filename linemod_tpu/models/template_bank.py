@@ -336,10 +336,17 @@ def build_template_bank(
             records["z"].append(np.float32(radius))
             total += 1
 
-    # batch one viewpoint's in-plane rotations per device call (bounded
-    # intermediates, executable compiled once) and keep one call in flight:
-    # viewpoint j+1 renders while viewpoint j's ~25 KB of features downloads
-    pending = None
+    # batch several viewpoints' in-plane rotations per device call and keep
+    # two calls in flight: each call's ~25 KB feature fetch costs a full
+    # transport round-trip (~50 ms on the axon tunnel), so at one viewpoint
+    # (10 renders) per call the RTT — not rendering — bounds generation
+    # throughput; batching VP_BATCH viewpoints amortizes it. The last
+    # ragged group per radius reuses one executable across radii (viewpoint
+    # counts are radius-independent).
+    VP_BATCH = 4
+    import collections as _collections
+
+    pending = _collections.deque()
     for radius in settings.radii:
         vps = camera_view_points(
             float(radius),
@@ -347,19 +354,22 @@ def build_template_bank(
             props.rotationally_symmetrical,
             props.planes_of_symmetry,
         )
-        for vp in vps:
-            quats = np.array([template_view_pose(vp, a) for a in angles], np.float64)
+        for g0 in range(0, len(vps), VP_BATCH):
+            group = vps[g0 : g0 + VP_BATCH]
+            quats = np.array(
+                [template_view_pose(vp, a) for vp in group for a in angles],
+                np.float64,
+            )
             rots = np.array([quat_to_mat(q) for q in quats], np.float32)
             trans = np.tile(
                 np.array([[0.0, 0.0, float(radius)]], np.float32), (len(rots), 1)
             )
             feats, p20s = render_and_extract(jnp.asarray(rots), jnp.asarray(trans))
-            if pending is not None:
-                collect(pending)
-            pending = (quats, radius, feats, p20s)
-        if pending is not None:
-            collect(pending)
-            pending = None
+            pending.append((quats, radius, feats, p20s))
+            while len(pending) > 2:
+                collect(pending.popleft())
+        while pending:
+            collect(pending.popleft())
         if progress is not None:
             progress(float(radius), total)
 

@@ -10,9 +10,11 @@ The color/depth validation checks are NOT device work: they run host-side,
 lazily per grouped candidate (ops/postprocess.py), which (a) matches the
 reference's post-grouping check order exactly — no top-K truncation of which
 candidates can be checked — and (b) means the depth image never crosses the
-host->device link in color-only mode. On remote-TPU transports the link
-(~15 MB/s) is the frame-rate ceiling, so bytes-per-frame is the metric that
-matters: color-only detection uploads only the 640x480x3 color image.
+host->device link in color-only mode. On the measured axon transport the
+per-call fetch round-trip (~50 ms) and the upload (~83 MB/s, ~11 ms per BGR
+frame) are the frame-rate ceiling, so calls-per-frame and bytes-per-frame
+are the metrics that matter: color-only detection uploads only the
+640x480x3 color image and fetches one packed candidate array.
 """
 
 from __future__ import annotations
@@ -65,3 +67,18 @@ def detect_frame_dual(state: MatchState, color: jax.Array, depth: jax.Array):
     return _pack(
         match_templates(state, color.astype(jnp.float32), depth.astype(jnp.float32))
     )
+
+
+@jax.jit
+def detect_frames_batch(state: MatchState, colors: jax.Array):
+    """Multi-frame color-only program: colors [B, H, W, 3] uint8 ->
+    packed [B, top_k, 5].
+
+    One device call (one upload burst, one result fetch) covers B frames —
+    on high-latency transports the per-call handshake overhead is a
+    significant slice of the frame budget, so amortizing it across a small
+    batch raises streaming throughput at the cost of B-frame latency.
+    lax.map, not vmap: the per-frame program embeds Pallas kernels whose
+    batching rule would rebuild the grid; sequential device time per frame
+    is unchanged and that is not the bottleneck."""
+    return jax.lax.map(lambda c: detect_frame(state, c), colors)

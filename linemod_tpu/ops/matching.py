@@ -50,14 +50,13 @@ class MatchConfig:
     dual_modality: bool = False
     template_chunk: int = 256
     use_pallas: bool = False  # VMEM-resident Pallas coarse scan (TPU only)
-    # MXU coarse engine: the dense scan as one int8 im2col matmul
-    # scores[t, g] = W[t] . patches[:, g], with W[t] the one-hot feature
-    # indicator over (plane, cell-shift) and patches the planes under every
-    # shift. ~2x faster than the Pallas scan at 2048 templates on v5e and the
-    # clear winner at large banks (the MXU does 161 GOP of int8 in ~0.2 ms;
-    # HBM W reads bound it). Takes precedence over use_pallas for the coarse
-    # level; the fine refine keeps its own path.
-    use_mxu: bool = False
+    # NOTE on the removed MXU coarse engine (rounds 2-3): the dense scan as
+    # one int8 im2col matmul beat the Pallas scan ~2x in isolation, but
+    # (a) it lowered poorly fused into the frame program, (b) its one-hot
+    # W was ~25 KB/template — 2.4 GB at the reference's configured 96k-
+    # template regime — and (c) the production stream is transport-bound,
+    # so its ~0.5 ms device saving never reached the frame rate. Deleted in
+    # round 4 (VERDICT r3 item 4); see git history for the implementation.
     # TPU-optimized approximate top-k for the coarse candidate cut
     # (lax.approx_max_k, recall target 0.99). Off by default — the reference's
     # candidate cut is exact; opt in only where a real-TPU test has verified
@@ -86,7 +85,7 @@ class MatchConfig:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
-                 "off3_coarse", "off3_fine", "w_coarse"],
+                 "off3_coarse", "off3_fine"],
     meta_fields=["cfg", "n_templates", "fine_shape", "coarse_shape",
                  "max_cells_fine", "max_cells_coarse"],
 )
@@ -104,9 +103,6 @@ class MatchState:
     lim_coarse: jax.Array  # [N, 2] int32 (gy_lim, gx_lim) valid cell bounds
     off3_coarse: jax.Array  # [N, F, 3] int32 (plane, sy, sx) for the Pallas path
     off3_fine: jax.Array  # [N, F, 3] int32 fine-level triplets (Pallas fine refine)
-    # [N, P*S*S] int8 one-hot feature indicator for the MXU engine (None
-    # unless cfg.use_mxu); S = max_cells_coarse
-    w_coarse: jax.Array | None
     fine_shape: tuple  # (ch, cw, rows, stride)
     coarse_shape: tuple
     max_cells_fine: int
@@ -183,23 +179,21 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
         )
         trips.append(tn)
     off3 = np.concatenate(trips, axis=1)
-    # fine-level triplets (color modality only — the Pallas fine kernel is
-    # used only in color-only mode, where the planes fit VMEM and SCALE == 8)
-    off3_f = feature_plane_triplets(bank.feat0, bank.valid0, cfg.t_fine, n_mods * n_planes_f)
-
-    # MXU engine weights: one-hot indicator over (plane, sy, sx), built by a
-    # device-side scatter so only the compact off3 table crosses the link
-    w_coarse = None
-    if cfg.use_mxu:
-        s = mc_coarse
-        p_tot = n_mods * n_planes_c
-        flat = (off3[:, :, 0].astype(np.int64) * s + off3[:, :, 1]) * s + off3[:, :, 2]
-        valid = off3[:, :, 0] < p_tot  # invalid features point at the zero plane
-        w_coarse = (
-            jnp.zeros((n, p_tot * s * s), jnp.int8)
-            .at[jnp.arange(n)[:, None], jnp.asarray(np.where(valid, flat, 0))]
-            .add(jnp.asarray(np.where(valid, 1, 0).astype(np.int8)))
+    # fine-level triplets for the Pallas fine refine; in dual mode the
+    # normal-modality features ride in the same table with their plane ids
+    # offset past the color planes (mirroring the coarse table above)
+    trips_f = [
+        feature_plane_triplets(bank.feat0, bank.valid0, cfg.t_fine, n_mods * n_planes_f)
+    ]
+    if cfg.dual_modality:
+        tnf = feature_plane_triplets(
+            bank.nfeat0, bank.nvalid0, cfg.t_fine, n_mods * n_planes_f
         )
+        tnf[:, :, 0] = np.where(
+            bank.nvalid0, tnf[:, :, 0] + n_planes_f, tnf[:, :, 0]
+        )
+        trips_f.append(tnf)
+    off3_f = np.concatenate(trips_f, axis=1)
 
     return MatchState(
         cfg=cfg,
@@ -213,7 +207,6 @@ def build_match_state(bank, cfg: MatchConfig) -> MatchState:
         ),
         off3_coarse=jnp.asarray(off3),
         off3_fine=jnp.asarray(off3_f),
-        w_coarse=w_coarse,
         fine_shape=fine,
         coarse_shape=coarse,
         max_cells_fine=mc_fine,
@@ -291,7 +284,7 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
 
     Returns [N, G] f32 percent similarity, -1 where the template does not fit
     the image at that cell. N is the state's (possibly shard-local) template
-    count. Engine per cfg: MXU im2col matmul / Pallas VMEM scan / XLA gather.
+    count. Engine per cfg: Pallas VMEM scan / XLA gather.
     """
     cfg = state.cfg
     coarse_flat = coarse_planes.reshape(-1)
@@ -301,36 +294,7 @@ def coarse_similarity(state: MatchState, coarse_planes) -> jax.Array:
         + jnp.arange(cw, dtype=jnp.int32)[None, :]
     ).reshape(-1)  # [G]
 
-    if cfg.use_mxu and state.w_coarse is not None:
-        # im2col + one int8 matmul on the MXU: patches[p, (sy, sx), g] is the
-        # response plane p under cell-shift (sy, sx); W rows are the one-hot
-        # (plane, shift) feature indicators. Exact: products are 0..4 ints,
-        # accumulated in int32.
-        s_sh = state.max_cells_coarse
-        p_tot = state.w_coarse.shape[1] // (s_sh * s_sh)
-        # crop the padded planes to the exact im2col extent FIRST — one
-        # contiguous copy; slicing the 49 shift windows straight out of the
-        # (rows x 128)-padded layout sends XLA's layout assignment into a
-        # pathological compile
-        cpl = coarse_planes[:p_tot, : ch + s_sh - 1, : cw + s_sh - 1].astype(
-            jnp.int8
-        )
-        cpl = jax.lax.optimization_barrier(cpl)
-        patches = jnp.stack(
-            [
-                cpl[:, dy : dy + ch, dx : dx + cw].reshape(p_tot, ch * cw)
-                for dy in range(s_sh)
-                for dx in range(s_sh)
-            ],
-            axis=1,
-        )  # [P, S*S, G]
-        scores = jax.lax.dot_general(
-            state.w_coarse,
-            patches.reshape(p_tot * s_sh * s_sh, ch * cw),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-    elif cfg.use_pallas:
+    if cfg.use_pallas:
         from .similarity_pallas import coarse_scores_pallas
 
         tiles = coarse_scores_pallas(
@@ -425,9 +389,12 @@ def candidate_cut_streaming(state: MatchState, coarse_planes, top_k: int):
     (top_sim, cand_t, cand_gy, cand_gx) as candidate_cut."""
     cfg = state.cfg
     n = state.off_coarse.shape[0]
-    chunk = cfg.scan_chunk
+    chunk = min(cfg.scan_chunk, n)
     if n % chunk:
-        raise ValueError(f"bank size {n} not a multiple of scan_chunk {chunk}")
+        # shrink to the largest divisor (cf. candidate_cut's block fallback):
+        # shard sizes need not divide the configured chunk, e.g. a 24,576-row
+        # bank on tp=4 gives 6,144-row shards with scan_chunk 4096
+        chunk = max(d for d in range(chunk, 0, -1) if n % d == 0)
     cw = state.coarse_shape[1]
     n_cells = state.coarse_shape[0] * cw
 
@@ -444,7 +411,6 @@ def candidate_cut_streaming(state: MatchState, coarse_planes, top_k: int):
             nf_coarse=sl(state.nf_coarse),
             lim_coarse=sl(state.lim_coarse),
             off3_coarse=sl(state.off3_coarse),
-            w_coarse=sl(state.w_coarse) if state.w_coarse is not None else None,
         )
         sim_c = coarse_similarity(sub, coarse_planes)  # [chunk, G]
         # per-chunk cut (blocked when cut_block_rows is set), then a
@@ -489,7 +455,15 @@ def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
     win = -(-span // cfg.t_fine)  # sub-cells per window (ceil)
     base_gy = (cand_gy * span) // cfg.t_fine
     base_gx = (cand_gx * span) // cfg.t_fine
-    if cfg.use_pallas and not cfg.dual_modality and win == 8:
+    # The Pallas fine kernel computes an 8 x 128 score block per candidate,
+    # so any window up to 8 sub-cells works (8 in color-only t_fine=2 mode,
+    # 4 in dual t_fine=5 mode); the planes must fit VMEM (~16 MB/core on
+    # v5e — dual fine planes are ~10.7 MB, color-only ~4.4 MB).
+    planes_vmem_ok = (
+        fine_planes.shape[0] * fine_planes.shape[1] * fine_planes.shape[2]
+        <= 12 * 1024 * 1024
+    )
+    if cfg.use_pallas and win <= 8 and planes_vmem_ok:
         from .similarity_pallas import fine_scores_pallas
 
         base_yx = jnp.stack([base_gy, base_gx], axis=1)

@@ -85,7 +85,6 @@ def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
         lim_coarse=tp(state.lim_coarse),
         off3_coarse=tp(state.off3_coarse),
         off3_fine=rep(state.off3_fine),
-        w_coarse=tp(state.w_coarse) if state.w_coarse is not None else None,
         fine_shape=state.fine_shape,
         coarse_shape=state.coarse_shape,
         max_cells_fine=state.max_cells_fine,
@@ -127,7 +126,7 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
     k_slice = cfg.top_k // tp
 
     def local_match(
-        off_f, off_c, nf_f, nf_c, lim, off3, off3f, w_c, color, depth
+        off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth
     ):
         # shard-local coarse state + replicated fine tables
         local = MatchState(
@@ -140,7 +139,6 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             lim_coarse=lim,
             off3_coarse=off3,
             off3_fine=off3f,
-            w_coarse=w_c,
             fine_shape=state.fine_shape,
             coarse_shape=state.coarse_shape,
             max_cells_fine=state.max_cells_fine,
@@ -213,27 +211,14 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
         P("tp"),  # lim_coarse
         P("tp"),  # off3_coarse
         P(),      # off3_fine
-        P("tp"),  # w_coarse
         P("dp"),  # color
         P("dp"),  # depth
     )
-    if state.w_coarse is None:
-        # drop the w_coarse slot entirely (None is not a shardable leaf)
-        def local_match_no_w(off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth):
-            return local_match(
-                off_f, off_c, nf_f, nf_c, lim, off3, off3f, None, color, depth
-            )
-
-        body = local_match_no_w
-        in_specs = args_specs[:7] + args_specs[8:]
-    else:
-        body = local_match
-        in_specs = args_specs
 
     mapped = shard_map(
-        body,
+        local_match,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=args_specs,
         out_specs=P("dp"),
         check_vma=False,  # outputs are tp-replicated after the final gather
     )
@@ -249,8 +234,6 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh):
             state.off3_coarse,
             state.off3_fine,
         ]
-        if state.w_coarse is not None:
-            args.append(state.w_coarse)
         return mapped(*args, color, depth)
 
     return matcher

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
-from ..ops.detect_core import detect_frame, detect_frame_dual, detect_frame_quant
+from ..ops.detect_core import (
+    detect_frame,
+    detect_frame_dual,
+    detect_frame_quant,
+    detect_frames_batch,
+)
 from ..ops.matching import MatchConfig, MatchState, build_match_state
 from ..ops.postprocess import (
     color_check_host,
@@ -49,10 +54,10 @@ def make_match_config(
     """Production MatchConfig shared by the single- and multi-model
     orchestrators.
 
-    - MXU coarse engine (int8 im2col matmul) on TPU — faster than the Pallas
-      scan at every bank size measured and no grid-size constraint; the
-      Pallas VMEM-resident scan stays on as the fallback for the fine refine
-      and as the coarse engine where the MXU weights would not fit.
+    - Pallas VMEM-resident scan as the coarse engine on TPU (grids up to
+      32 x 128 cells); XLA gather elsewhere. (An MXU im2col-matmul engine
+      existed in rounds 2-3 and was deleted — see the note in
+      ops/matching.MatchConfig.)
     - top_k scales with the class count so classes in a super-bank can't
       starve each other of candidate slots (the reference matches each class
       with its own unbounded match list, src/HighLevelLinemod.cpp:145-164).
@@ -81,10 +86,6 @@ def make_match_config(
         dual_modality=dual_modality,
         template_chunk=min(256, _pad_chunk(n_templates)),
         use_pallas=use_pallas,
-        # The MXU engine wins in isolation but currently lowers poorly when
-        # fused into the full frame program (see scaling_results.json notes);
-        # keep the Pallas scan as the production coarse engine.
-        use_mxu=False,
         approx_topk=False,
         # blocked exact cut: same top-K values as one flat lax.top_k at a
         # fraction of its TPU cost (in-program: 8.4 -> 4.6 ms at 2048
@@ -120,12 +121,13 @@ class PoseDetection:
         padded = _pad_bank(bank, cfg.template_chunk)
         self.state = build_match_state(padded, cfg)
         self._hull_masks: dict[int, np.ndarray] = {}  # per-template, lazy
-        # host-quantize transport mode: on remote-TPU links the per-frame
-        # upload is the rate ceiling, so quantize on the host (bit-identical
-        # C++, native/quantize.cpp) and send the two u8 orientation maps
-        # (384 KB) instead of the BGR frame (921 KB). The tradeoff is link
-        # bytes vs host CPU: auto-enable only when the host has cores to
-        # spare (the C++ quantizer is ~30 ms on 2 cores, ~4 ms on 16).
+        # host-quantize transport mode: on byte-constrained links, quantize
+        # on the host (bit-identical C++, native/quantize.cpp) and send the
+        # two u8 orientation maps (384 KB) instead of the BGR frame (921 KB).
+        # The tradeoff is link bytes vs host CPU: the C++ quantizer is ~26 ms
+        # on 2 cores (~4 ms on 16), while the measured upload saving is only
+        # ~6 ms at the current ~83 MB/s link — so auto-enable only when the
+        # host has cores to spare; on small hosts raw-color upload wins.
         if host_quant is None:
             import os
 
@@ -179,7 +181,7 @@ class PoseDetection:
 
         The device runs ONE jitted match-only program (ops/detect_core.py)
         and the host later reads back ONE packed candidate array —
-        device->host round-trips cost ~25 ms on remote TPU transports, so a
+        device->host round-trips cost ~50 ms on remote TPU transports, so a
         streaming caller keeps one frame in flight (submit k+1 before
         collecting k) and pays only device + upload time per frame. In
         color-only mode the depth image stays on the host (the validation
@@ -204,12 +206,39 @@ class PoseDetection:
             packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))
         return packed, color_c, depth_c
 
+    def detect_submit_batch(self, frames):
+        """Enqueue ONE device program covering several frames (color-only
+        path). frames: list of (color, depth); returns a batch handle for
+        detect_collect_batch. Amortizes the per-call transport handshake
+        over the batch — see ops/detect_core.detect_frames_batch."""
+        recentred = [
+            (
+                self.recenter(np.ascontiguousarray(c)),
+                self.recenter(np.ascontiguousarray(d)),
+            )
+            for c, d in frames
+        ]
+        colors = np.stack([c for c, _ in recentred]).astype(np.uint8)
+        packed = detect_frames_batch(self.state, jnp.asarray(colors))
+        return packed, recentred
+
+    def detect_collect_batch(self, handle, num_objects: int = 1):
+        """Fetch + post-process one submitted batch; returns a list of pose
+        lists (one per frame, submission order)."""
+        packed, recentred = handle
+        packed = np.asarray(packed)
+        return [
+            self.detect_collect((packed[i], c, d), num_objects)
+            for i, (c, d) in enumerate(recentred)
+        ]
+
     def detect_stream(
         self,
         frames,
         num_objects: int = 1,
         pipeline_depth: int = 4,
         workers: int = 3,
+        batch: int = 1,
     ):
         """Generator: detect over an iterable of (color, depth) with up to
         `pipeline_depth` frames in flight, collected by `workers` threads.
@@ -227,8 +256,31 @@ class PoseDetection:
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
+        use_batch = (
+            batch > 1 and not self.bank.dual_modality and not self.host_quant
+        )
         with ThreadPoolExecutor(max(1, workers)) as ex:
             futs: collections.deque = collections.deque()
+            if use_batch:
+                pend: list = []
+                for cd in frames:
+                    pend.append(cd)
+                    if len(pend) == batch:
+                        handle = self.detect_submit_batch(pend)
+                        futs.append(
+                            ex.submit(self.detect_collect_batch, handle, num_objects)
+                        )
+                        pend = []
+                    while len(futs) > pipeline_depth:
+                        yield from futs.popleft().result()
+                if pend:
+                    handle = self.detect_submit_batch(pend)
+                    futs.append(
+                        ex.submit(self.detect_collect_batch, handle, num_objects)
+                    )
+                while futs:
+                    yield from futs.popleft().result()
+                return
             for color, depth in frames:
                 handle = self.detect_submit(color, depth)
                 futs.append(ex.submit(self.detect_collect, handle, num_objects))

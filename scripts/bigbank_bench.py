@@ -81,22 +81,16 @@ def device_time(body, *examples):
 def state_hbm_bytes(state) -> int:
     total = 0
     for f in ("off_fine", "off_coarse", "nf_fine", "nf_coarse", "lim_coarse",
-              "off3_coarse", "off3_fine", "w_coarse"):
+              "off3_coarse", "off3_fine"):
         a = getattr(state, f)
-        if a is not None:
-            total += a.size * a.dtype.itemsize
+        total += a.size * a.dtype.itemsize
     return total
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--subdiv", type=int, default=2)
-    ap.add_argument("--bank-cache", default=os.path.join(REPO, ".bigbank_cache.npz"))
-    args = ap.parse_args()
-
+def run_subdiv(subdiv: int, bank_cache: str):
     cam, base = load_settings(os.path.join(REPO, "example", "linemod_settings.yml"))
     settings = TemplateSettings(
-        **{**base.__dict__, "subdivisions": args.subdiv}
+        **{**base.__dict__, "subdivisions": subdiv}
     )
     # NON-symmetric: full icosphere, no pruning (the reference's configured
     # regime for an asymmetric part)
@@ -106,21 +100,21 @@ def main():
     )
     mesh = load_ply(os.path.join(REPO, "example", "models", "lagergehaeuse.ply"))
 
-    if os.path.exists(args.bank_cache):
-        bank = TemplateBank.load(args.bank_cache)
+    if os.path.exists(bank_cache):
+        bank = TemplateBank.load(bank_cache)
         gen_s = None
         print(f"loaded cached bank: {bank.num_templates} templates")
     else:
         t0 = time.time()
         bank = build_template_bank(mesh, "bigbank", cam, settings, props)
         gen_s = time.time() - t0
-        bank.save(args.bank_cache)
+        bank.save(bank_cache)
         print(
             f"generated {bank.num_templates} templates in {gen_s:.1f} s "
             f"({bank.num_templates / gen_s:.1f} templates/s)"
         )
     n = bank.num_templates
-    disk_mb = os.path.getsize(args.bank_cache) / 1e6
+    disk_mb = os.path.getsize(bank_cache) / 1e6
 
     use_pallas = jax.default_backend() == "tpu"
     cfg = MatchConfig(
@@ -222,8 +216,8 @@ def main():
         })
         print(f"tp={tp}: {t_tp*1e3:.2f} ms/frame, efficiency {100*eff:.1f}%")
 
-    out = {
-        "subdiv": args.subdiv,
+    return {
+        "subdiv": subdiv,
         "n_templates": n,
         "generation_seconds": gen_s,
         "templates_per_second": (n / gen_s) if gen_s else None,
@@ -234,9 +228,36 @@ def main():
         "scan_chunk": SCAN_CHUNK,
         "strong_scaling": scaling,
     }
-    with open(os.path.join(REPO, "BANK_SCALE.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote BANK_SCALE.json")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subdivs", type=int, nargs="+", default=[2, 3])
+    args = ap.parse_args()
+
+    path = os.path.join(REPO, "BANK_SCALE.json")
+    results = {"note": (
+        "reference configured regime (linemod_settings.yml:21-27 + "
+        "src/CameraViewPoints.cpp:26): 15 radii x icosphere views x 10 "
+        "in-plane, symmetry pruning off. subdiv 2 = 162 views -> 24,300 "
+        "templates; subdiv 3 = 642 -> 96,300. Efficiency numbers are "
+        "measured-per-chip compute (one real v5e chip) + ICI comm model."
+    ), "configs": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+        if isinstance(old, dict) and "configs" in old:
+            results = old
+    for s in args.subdivs:
+        cache = os.path.join(REPO, f".bigbank_cache_s{s}.npz")
+        r = run_subdiv(s, cache)
+        results["configs"] = [
+            c for c in results["configs"] if c["subdiv"] != s
+        ] + [r]
+        results["configs"].sort(key=lambda c: c["subdiv"])
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {path} (subdiv {s})")
 
 
 if __name__ == "__main__":

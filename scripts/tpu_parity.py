@@ -1,7 +1,7 @@
 """Real-TPU parity checks.
 
-1. Engine parity: Pallas coarse scan and MXU im2col-matmul vs the XLA
-   gather path — bit-identical match output on a synthetic bank + frame.
+1. Engine parity: Pallas coarse scan vs the XLA gather path —
+   bit-identical match output on a synthetic bank + frame.
 2. approx_max_k vs exact top_k candidate cut: the production TPU config
    enables lax.approx_max_k (recall target 0.99); this asserts the
    above-threshold VALID match set is identical to the exact cut on (a) the
@@ -76,15 +76,6 @@ def main():
         f"pallas {tp*1e3:.1f} ms vs gather {tg*1e3:.1f} ms "
         f"(compile {t_pallas_compile:.0f}s)"
     )
-
-    # --- MXU engine parity on the real chip ---
-    state_m = build_match_state(bank, dataclasses.replace(cfg, use_mxu=True))
-    out_m = jax.tree.map(np.asarray, match_templates(state_m, color, depth))
-    for k in ("template_id", "x", "y", "similarity", "valid"):
-        if not np.array_equal(out_m[k], out_g[k]):
-            raise AssertionError(f"MXU mismatch in {k}")
-    tm = timeit(state_m)
-    print(f"MXU PARITY OK: mxu {tm*1e3:.1f} ms")
 
     # --- approx vs exact candidate cut on the real fixture ---
     import cv2

@@ -238,30 +238,6 @@ class TestStreamingCut:
                 np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
             )
 
-    def test_streaming_cut_with_mxu(self, rng):
-        import dataclasses
-
-        from linemod_tpu.models.template_bank import make_synthetic_bank
-        from linemod_tpu.ops.matching import (
-            MatchConfig,
-            build_match_state,
-            match_templates,
-        )
-
-        bank = make_synthetic_bank(32, seed=2, bbox_wh=48)
-        cfg = MatchConfig(width=320, height=240, top_k=32, template_chunk=8)
-        state = build_match_state(bank, cfg)
-        state_m = build_match_state(
-            bank, dataclasses.replace(cfg, scan_chunk=8, use_mxu=True)
-        )
-        color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
-        depth = jnp.zeros((240, 320), jnp.float32)
-        ref = match_templates(state, color, depth)
-        got = match_templates(state_m, color, depth)
-        for k in ("template_id", "x", "y", "similarity", "valid"):
-            np.testing.assert_array_equal(
-                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
-            )
 
 class TestCandidateCut:
     """The production blocked cut must be indistinguishable from one flat
@@ -341,3 +317,28 @@ class TestCandidateCut:
             np.testing.assert_array_equal(
                 np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
             )
+
+
+class TestBatchedStream:
+    def test_batched_stream_equals_single(self, cube_setup):
+        """detect_stream(batch=2) must yield the same poses per frame as the
+        unbatched stream (same device program per frame via lax.map), with a
+        ragged tail batch."""
+        cam, settings, props, mesh, bank = cube_setup
+        t = 4
+        rot = quat_to_mat(bank.quat[t]).astype(np.float32)
+        depth, color = render_views(
+            mesh_to_arrays(mesh), rot[None], np.array([[0, 0, 600.0]], np.float32),
+            cam, with_color=True,
+        )
+        color_u8 = (np.asarray(color)[0] * 255).astype(np.uint8)
+        depth_mm = np.asarray(depth)[0].astype(np.uint16)
+        det = PoseDetection(bank, cam, settings, props)
+        frames = [(color_u8, depth_mm)] * 3  # odd count -> ragged tail
+        ref = [det.detect(c, d, 1) for c, d in frames]
+        got = list(det.detect_stream(iter(frames), 1, batch=2))
+        assert len(got) == len(ref)
+        for pr, pg in zip(ref, got):
+            assert len(pr) == len(pg) == 1
+            np.testing.assert_allclose(pr[0].translation, pg[0].translation)
+            np.testing.assert_allclose(pr[0].quaternion, pg[0].quaternion)

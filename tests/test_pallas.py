@@ -150,39 +150,25 @@ def test_match_templates_pallas_path_interpret(rng, monkeypatch):
         np.testing.assert_array_equal(out_p[k], out_g[k])
 
 
-def test_mxu_engine_matches_gather_path(rng):
-    """The int8 im2col-matmul coarse engine must reproduce the gather path's
-    full match output exactly (int accumulation; one-hot W over
-    (plane, cell-shift))."""
-    n = 32
-    bank = make_synthetic_bank(n, seed=3, bbox_wh=48)
-    cfg = MatchConfig(width=640, height=480, template_chunk=n)
-    cfg_mxu = dataclasses.replace(cfg, use_mxu=True)
-    state = build_match_state(bank, cfg)
-    state_mxu = build_match_state(bank, cfg_mxu)
-    assert state_mxu.w_coarse is not None
-    # every valid feature appears exactly once in W
-    w = np.asarray(state_mxu.w_coarse)
-    np.testing.assert_array_equal(w.sum(1), np.asarray(state.nf_coarse))
+def test_match_templates_pallas_dual_modality_interpret(rng):
+    """Dual-modality end-to-end: use_pallas (coarse scan + win=4 fine refine
+    with the combined color+normal off3_fine table) == the gather path."""
+    from jax.experimental.pallas import tpu as pltpu
 
+    n = 16
+    bank = make_synthetic_bank(n, seed=11, bbox_wh=48, dual_modality=True)
+    cfg = MatchConfig(
+        width=640, height=480, top_k=32, template_chunk=n,
+        t_fine=5, dual_modality=True,
+    )
+    state_g = build_match_state(bank, cfg)
+    state_p = build_match_state(bank, dataclasses.replace(cfg, use_pallas=True))
+    # dual mode refines over a 4 x 4 sub-cell window (ceil(16 / 5))
+    assert -(-2 * cfg.t_coarse // cfg.t_fine) == 4
     color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
     depth = jnp.asarray(rng.uniform(400, 900, (480, 640)).astype(np.float32))
-    ref = match_templates(state, color, depth)
-    got = match_templates(state_mxu, color, depth)
-    for k in ("template_id", "x", "y", "similarity", "valid"):
-        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
-
-
-def test_mxu_engine_dual_modality(rng):
-    n = 8
-    bank = make_synthetic_bank(n, seed=5, bbox_wh=48, dual_modality=True)
-    cfg = MatchConfig(width=320, height=240, template_chunk=n, t_fine=5,
-                      dual_modality=True)
-    state = build_match_state(bank, cfg)
-    state_mxu = build_match_state(bank, dataclasses.replace(cfg, use_mxu=True))
-    color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
-    depth = jnp.asarray(rng.uniform(400, 900, (240, 320)).astype(np.float32))
-    ref = match_templates(state, color, depth)
-    got = match_templates(state_mxu, color, depth)
-    for k in ("template_id", "x", "y", "similarity", "valid"):
-        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]), err_msg=k)
+    out_g = {k: np.asarray(v) for k, v in match_templates(state_g, color, depth).items()}
+    with pltpu.force_tpu_interpret_mode():
+        out_p = {k: np.asarray(v) for k, v in match_templates(state_p, color, depth).items()}
+    for k in out_g:
+        np.testing.assert_array_equal(out_p[k], out_g[k], err_msg=k)
