@@ -62,6 +62,20 @@ class MatchConfig:
     # candidate cut is exact; opt in only where a real-TPU test has verified
     # the above-threshold match set is unchanged (tests/test_tpu_hw.py).
     approx_topk: bool = False
+    # Guarded approx cut — an opt-in for SPARSE scenes. lax.approx_max_k
+    # (fast, hardware-sampled) plus an on-device exactness guard: the count
+    # of above-threshold entries in the approx result is compared with the
+    # count in the full similarity; the approx result's above-threshold
+    # entries are a sub-multiset of the full set, so count equality PROVES
+    # every above-threshold candidate was captured, and a lax.cond falls
+    # back to the exact blocked cut otherwise. 12x faster than the exact
+    # cut when the scene has fewer than top_k coarse candidates (0.08 vs
+    # 0.97 ms at 2048 templates on v5e). NOT the production default: real
+    # cluttered scenes are dense at the coarse level (the fixture frame has
+    # ~554k of 2.4M pairs >= 80 — T=8 spreading saturates the planes), the
+    # guard then never passes, and the approx pass is pure overhead (~+9%).
+    # Takes precedence over approx_topk/cut_block_rows.
+    guarded_cut: bool = False
     # Large-bank streaming cut: scan the bank in chunks of this many
     # templates, merging a running exact top-K instead of materializing the
     # dense [N, G] similarity (at 96k templates that array alone is ~460 MB
@@ -352,29 +366,58 @@ def candidate_cut(cfg: MatchConfig, sim_c: jax.Array, cw: int, top_k: int):
     Returns (top_sim, cand_t, cand_gy, cand_gx), each [top_k]."""
     n, n_cells = sim_c.shape
     rpb = cfg.cut_block_rows
-    if rpb and n > rpb and n % rpb:
-        # shard/bank shapes need not divide the configured block size (e.g. a
-        # 2560-row bank on tp=4 gives 640-row shards): shrink to the largest
-        # divisor — the blocked path is a pure optimization with identical
-        # results, so any block size is legal, and divisor 1 degenerates to
-        # a per-row top-K which is still exact (just slower).
-        rpb = max(d for d in range(rpb, 0, -1) if n % d == 0)
-    if cfg.approx_topk:
+    if rpb:
+        # Adapt the block size to the row count: ~8 blocks is the measured
+        # optimum at every shape tried on v5e (2048 rows -> rpb 256 and
+        # 512-row tp shards -> rpb 64 both beat other splits;
+        # scripts/profile_cut2.py + round-4 tuning), and the config value
+        # caps it. Shrink to the largest divisor — the blocked path is a
+        # pure optimization with identical results, so any block size is
+        # legal, and divisor 1 degenerates to a per-row top-K (still exact).
+        rpb = min(rpb, max(n // 8, 1))
+        if n % rpb:
+            rpb = max(d for d in range(rpb, 0, -1) if n % d == 0)
+    def _exact_ranked():
+        """Exact cut in canonical (sim desc, index asc) order — blocked
+        decomposition when configured (a flat huge top_k is sort-bound on
+        TPU), flat otherwise."""
+        if rpb and n > rpb:
+            nb = n // rpb
+            blk = sim_c.reshape(nb, rpb * n_cells)
+            s, li = jax.lax.top_k(blk, top_k)  # per-block value top-K
+            gi = li.astype(jnp.int32) + (
+                jnp.arange(nb, dtype=jnp.int32) * (rpb * n_cells)
+            )[:, None]
+            return rank_by_sim_then_index(s.reshape(-1), gi.reshape(-1), top_k)
+        s, li = jax.lax.top_k(sim_c.reshape(-1), top_k)
+        return rank_by_sim_then_index(s, li.astype(jnp.int32), top_k)
+
+    if cfg.guarded_cut:
+        # approx_max_k + exactness guard (see MatchConfig.guarded_cut): the
+        # guard compares above-threshold counts — the approx result's
+        # above-threshold entries are a sub-multiset of the dense ones, so
+        # equality proves full capture; otherwise fall back to the exact cut.
+        flat = sim_c.reshape(-1)
+        thr = jnp.float32(cfg.threshold)
+        a_total = jnp.sum((flat >= thr).astype(jnp.int32))
+        s_a, i_a = jax.lax.approx_max_k(
+            flat, top_k, recall_target=0.99, aggregate_to_topk=True
+        )
+        a_in = jnp.sum((s_a >= thr).astype(jnp.int32))
+        # canonical (sim desc, index asc) order in both branches, so any
+        # approx tie-selection cannot leak into the above-threshold prefix
+        top_sim, top_idx = jax.lax.cond(
+            a_in == a_total,
+            lambda o: rank_by_sim_then_index(o[0], o[1].astype(jnp.int32), top_k),
+            lambda o: _exact_ranked(),
+            (s_a, i_a),
+        )
+    elif cfg.approx_topk:
         top_sim, top_idx = jax.lax.approx_max_k(
             sim_c.reshape(-1), top_k, recall_target=0.99, aggregate_to_topk=True
         )
-    elif rpb and n > rpb:
-        nb = n // rpb
-        blk = sim_c.reshape(nb, rpb * n_cells)
-        s, li = jax.lax.top_k(blk, top_k)  # per-block value top-K
-        gi = li.astype(jnp.int32) + (
-            jnp.arange(nb, dtype=jnp.int32) * (rpb * n_cells)
-        )[:, None]
-        top_sim, top_idx = rank_by_sim_then_index(
-            s.reshape(-1), gi.reshape(-1), top_k
-        )
     else:
-        top_sim, top_idx = jax.lax.top_k(sim_c.reshape(-1), top_k)
+        top_sim, top_idx = _exact_ranked()
     cand_t = (top_idx // n_cells).astype(jnp.int32)
     cand_g = (top_idx % n_cells).astype(jnp.int32)
     return top_sim, cand_t, cand_g // cw, cand_g % cw
@@ -499,11 +542,17 @@ def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
 def finalize_matches(cfg: MatchConfig, cand_t, sim, x, y, top_sim):
     """Threshold + similarity-sort the refined candidates into the match dict.
 
+    A match must beat the threshold at BOTH pyramid levels — cv::linemod's
+    matchClass only refines lowest-resolution candidates that already score
+    >= threshold there (the cascade the reference invokes at
+    src/HighLevelLinemod.cpp:152) — so `top_sim` (the candidate's coarse
+    score) is gated alongside the refined fine score. This also makes the
+    output independent of which below-threshold filler candidates the cut
+    happened to select (see MatchConfig.guarded_cut/cut_block_rows).
+
     Invalid slots are canonicalized to sentinels (id -1, x/y 0, sim -1) so
-    the output is bit-deterministic even where the candidate cut's choice of
-    below-threshold tie representatives is lowering-dependent (see
-    MatchConfig.cut_block_rows)."""
-    valid = (sim >= cfg.threshold) & (top_sim > 0)
+    the output is bit-deterministic."""
+    valid = (sim >= cfg.threshold) & (top_sim >= cfg.threshold)
     order = jnp.argsort(-jnp.where(valid, sim, -1.0))
     v = valid[order]
     return {

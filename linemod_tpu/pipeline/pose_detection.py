@@ -61,11 +61,13 @@ def make_match_config(
     - top_k scales with the class count so classes in a super-bank can't
       starve each other of candidate slots (the reference matches each class
       with its own unbounded match list, src/HighLevelLinemod.cpp:145-164).
-    - approx_topk stays OFF: scripts/tpu_parity.py measured lax.approx_max_k
-      (recall 0.99) changing the above-threshold match set on the real
-      fixture (2 missed / 3 extra of 115 valid matches), so the exact cut —
-      the reference's semantics — is the production default; approx remains
-      an explicit opt-in on MatchConfig.
+    - the candidate cut is the exact blocked top-K (adaptive ~8-block
+      decomposition): bare approx_max_k measurably changed the match set on
+      the real fixture (2 missed / 3 extra of 115, scripts/tpu_parity.py)
+      so it stays off, and the guarded approx cut (exactness guard +
+      fallback, MatchConfig.guarded_cut) stays an opt-in for sparse scenes
+      because dense coarse-level candidate counts on real scenes defeat its
+      guard (see the guarded_cut note below).
     """
     import jax
 
@@ -87,9 +89,18 @@ def make_match_config(
         template_chunk=min(256, _pad_chunk(n_templates)),
         use_pallas=use_pallas,
         approx_topk=False,
+        # guarded_cut stays OFF for production: real bin-picking scenes are
+        # DENSE at the coarse level (the fixture frame has ~554k of 2.4M
+        # (template, cell) pairs >= threshold 80 — T=8 spreading over a
+        # cluttered scene saturates the response planes), so the guard's
+        # every-above-threshold-captured condition can never hold and the
+        # approx pass is pure overhead. It is a 12x cut win on SPARSE
+        # scenes (<~512 coarse candidates) — an explicit opt-in for such
+        # deployments (MatchConfig.guarded_cut).
+        guarded_cut=False,
         # blocked exact cut: same top-K values as one flat lax.top_k at a
-        # fraction of its TPU cost (in-program: 8.4 -> 4.6 ms at 2048
-        # templates, scripts/profile_cut2.py)
+        # fraction of its TPU cost (3.9 -> 0.9 ms at 2048 templates; block
+        # size auto-adapts to ~8 blocks per shape, candidate_cut)
         cut_block_rows=256,
     )
 

@@ -119,7 +119,7 @@ def run_subdiv(subdiv: int, bank_cache: str):
     use_pallas = jax.default_backend() == "tpu"
     cfg = MatchConfig(
         width=cam.width, height=cam.height, top_k=TOP_K,
-        template_chunk=256, use_pallas=use_pallas, approx_topk=False, cut_block_rows=256,
+        template_chunk=256, use_pallas=use_pallas, cut_block_rows=256,
         scan_chunk=SCAN_CHUNK,
     )
     padded = _pad_bank(bank, SCAN_CHUNK)
@@ -163,7 +163,7 @@ def run_subdiv(subdiv: int, bank_cache: str):
         )
         scfg = MatchConfig(
             width=cam.width, height=cam.height, top_k=TOP_K, template_chunk=256,
-            use_pallas=use_pallas, approx_topk=False, cut_block_rows=256,
+            use_pallas=use_pallas, cut_block_rows=256,
             scan_chunk=min(SCAN_CHUNK, n_shard),
         )
         sstate = build_match_state(sb, scfg)

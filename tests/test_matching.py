@@ -342,3 +342,71 @@ class TestBatchedStream:
             assert len(pr) == len(pg) == 1
             np.testing.assert_allclose(pr[0].translation, pg[0].translation)
             np.testing.assert_allclose(pr[0].quaternion, pg[0].quaternion)
+
+
+class TestGuardedCut:
+    """The production guarded approx cut (approx_max_k + count-equality
+    exactness guard + lax.cond fallback) must deliver the exact
+    above-threshold candidate set in all cases."""
+
+    def _mk(self, n=512, n_cells=1200, top_k=96, seed=3):
+        rng = np.random.default_rng(seed)
+        sim = rng.choice(
+            np.array([10.0, 50.0, 79.0, 81.0, 88.0, 95.0], np.float32),
+            p=[0.48, 0.30, 0.20, 0.008, 0.008, 0.004],
+            size=(n, n_cells),
+        )
+        return sim, top_k
+
+    def _above(self, cfg, sim, top_k, thr=80.0):
+        from linemod_tpu.ops.matching import candidate_cut
+
+        s, t, gy, gx = map(
+            np.asarray, candidate_cut(cfg, jnp.asarray(sim), 40, top_k)
+        )
+        keep = s >= thr
+        return list(zip(s[keep], t[keep], gy[keep], gx[keep]))
+
+    def test_guarded_equals_exact(self):
+        import dataclasses
+
+        from linemod_tpu.ops.matching import MatchConfig
+
+        sim, top_k = self._mk()
+        cfg_e = MatchConfig(top_k=top_k, cut_block_rows=256)
+        cfg_g = dataclasses.replace(cfg_e, guarded_cut=True)
+        # ranked order is part of the contract: compare as ordered lists
+        assert self._above(cfg_e, sim, top_k) == self._above(cfg_g, sim, top_k)
+
+    def test_guard_fallback_on_approx_miss(self, monkeypatch):
+        """If approx_max_k misses an above-threshold entry, the guard must
+        detect the count mismatch and take the exact fallback branch."""
+        import dataclasses
+
+        import jax
+
+        import linemod_tpu.ops.matching as M
+
+        sim, top_k = self._mk(seed=7)
+        cfg_e = M.MatchConfig(top_k=top_k, cut_block_rows=256)
+        cfg_g = dataclasses.replace(cfg_e, guarded_cut=True)
+        want = self._above(cfg_e, sim, top_k)
+        assert want  # the fixture distribution must produce real matches
+
+        real_approx = jax.lax.approx_max_k
+
+        def lying_approx(operand, k, **kw):
+            # deliberately drop the global best: exact top-k of everything
+            # EXCEPT the maximum (replaced by -inf), so one above-threshold
+            # entry is guaranteed missing from the approx result
+            hole = jnp.argmax(operand)
+            crippled = operand.at[hole].set(-jnp.inf)
+            s, i = jax.lax.top_k(crippled, k)
+            return s, i.astype(jnp.int32)
+
+        monkeypatch.setattr(jax.lax, "approx_max_k", lying_approx)
+        try:
+            got = self._above(cfg_g, sim, top_k)
+        finally:
+            monkeypatch.setattr(jax.lax, "approx_max_k", real_approx)
+        assert got == want

@@ -133,3 +133,58 @@ def test_sharded_batch_dp(cube_bank_scene):
     out = {k: np.asarray(v) for k, v in matcher(colors, depths).items()}
     assert out["valid"][0].sum() > 0  # object frame has matches
     assert out["valid"][1].sum() == 0  # empty frame has none
+
+
+def test_two_round_cut_fast_path_equals_single(cube_bank_scene):
+    """With top_k=512 and tp=8 the sharded matcher takes the two-round cut
+    (local top-256, merge, saturation proof); output must stay bit-identical
+    to the single-device path. (tp=4 uses the single-round cut — measured
+    faster in the fused program — so tp=8 is the two-round test point.)"""
+    bank, color, depth = cube_bank_scene
+    cfg = MatchConfig(top_k=512, template_chunk=2, threshold=80.0)
+    padded = _pad_bank(bank, 16)
+    state = build_match_state(padded, cfg)
+    single = {k: np.asarray(v) for k, v in match_templates(
+        state, jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32)
+    ).items()}
+    mesh = make_mesh(8, dp=1)
+    sstate = shard_state(state, mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    out = matcher(
+        jnp.asarray(color[None], jnp.float32), jnp.asarray(depth[None], jnp.float32)
+    )
+    assert bool(np.asarray(out["cut_exact"]).all())  # proof passed: no retry
+    shard = {k: np.asarray(v)[0] for k, v in out.items() if k != "cut_exact"}
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(single[k], shard[k], err_msg=k)
+
+
+def test_two_round_cut_saturated_fallback(cube_bank_scene):
+    """A bank whose matches all live in ONE shard saturates that shard's
+    round-1 top-m, so the exactness proof fails and the lax.cond fallback
+    (full-K local cut) must produce the single-device result."""
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+
+    bank, color, depth = cube_bank_scene
+    # shard 0 (first eighth) holds the real cube templates; the remaining
+    # templates are inert (no features -> similarity 0 everywhere)
+    padded = _pad_bank(bank, 40)  # 9 real + 31 inert = 40 -> 5 per tp=8 shard
+    cfg = MatchConfig(top_k=512, template_chunk=2, threshold=80.0)
+    state = build_match_state(padded, cfg)
+    single = {k: np.asarray(v) for k, v in match_templates(
+        state, jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32)
+    ).items()}
+    mesh = make_mesh(8, dp=1)
+    sstate = shard_state(state, mesh)
+    from linemod_tpu.parallel.sharded_match import sharded_detect
+
+    fast = make_sharded_matcher(sstate, mesh)
+    exact = make_sharded_matcher(sstate, mesh, exact_only=True)
+    c = jnp.asarray(color[None], jnp.float32)
+    d = jnp.asarray(depth[None], jnp.float32)
+    # the concentrated bank must actually defeat the round-1 proof
+    assert not bool(np.asarray(fast(c, d)["cut_exact"]).all())
+    out = sharded_detect(fast, exact, c, d)
+    shard = {k: np.asarray(v)[0] for k, v in out.items() if k != "cut_exact"}
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(single[k], shard[k], err_msg=k)
