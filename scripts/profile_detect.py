@@ -2,13 +2,15 @@
 
 Measurement notes for the axon remote-TPU transport:
 - jax.block_until_ready does NOT sync through this transport; only a real
-  fetch (np.asarray) does. Latency-mode numbers therefore include one ~25 ms
+  fetch (np.asarray) does. Latency-mode numbers therefore include one ~50 ms
   host<->device round trip.
 - Dispatches and uploads are async; "pipelined" rows enqueue N frames and
   sync once, which is the production streaming shape (detect_stream).
-- The host->device link runs at ~15 MB/s, so bytes-per-frame dominates the
-  streaming rate: color-only detection uploads only the 900 KB color image
-  (checks run host-side; depth stays on the host).
+- The measured link runs at ~83 MB/s (921 KB color frame ~= 11 ms) and the
+  fetch round-trip ~50 ms, so calls-per-frame — not bytes — dominates the
+  streaming rate; detect_stream overlaps several fetches across collector
+  threads (checks run host-side; depth stays on the host in color-only
+  mode).
 """
 
 import os
