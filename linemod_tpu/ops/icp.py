@@ -211,7 +211,10 @@ class IcpRefiner:
         )
         # pad the pose batch to a fixed size so the jitted ICP compiles once
         n = len(poses)
-        pad_to = max(4, 1 << (n - 1).bit_length())
+        # pow2 bucketing only (1, 2, 4, ...): the common production group
+        # has a single candidate pose (number_wanted_poses=1), and a floor
+        # of 4 would quadruple the ICP NN/argmin compute for it
+        pad_to = 1 << (n - 1).bit_length()
         padded = poses + [poses[-1]] * (pad_to - n)
         rots = jnp.asarray(
             np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)
@@ -242,6 +245,82 @@ class IcpRefiner:
             for i in range(len(poses))
         ]
 
+    def refine_best(self, depth: np.ndarray, poses: list):
+        """Fused refine + verify-by-render with ONE device fetch.
+
+        Equivalent to refine(depth, poses) followed by
+        best_verified(depth, refined), but the intermediate poses never
+        visit the host: the scene-cloud build, the batched ICP, the
+        candidate renders and the verify scores chain as async dispatches
+        on device, and a single packed [P, 13] array (rotation 9 +
+        translation 3 + verify mean 1) is fetched. On the remote transport
+        each fetch is a ~50 ms round trip, so this halves-or-better the
+        ICP path's per-group latency vs the two-call API (which stays for
+        callers that want the intermediate refined poses)."""
+        if not poses:
+            return None
+        if self.marr is None:
+            return self.refine(depth, poses)[0]
+        bbox = np.asarray(poses[0].bounding_box, np.int32)
+        n = len(poses)
+        # pow2 bucketing only (1, 2, 4, ...): the common production group
+        # has a single candidate pose (number_wanted_poses=1), and a floor
+        # of 4 would quadruple the ICP NN/argmin compute for it
+        pad_to = 1 << (n - 1).bit_length()
+        padded = poses + [poses[-1]] * (pad_to - n)
+        rots = jnp.asarray(
+            np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)
+        )
+        trans = jnp.asarray(
+            np.stack([p.translation for p in padded]).astype(np.float32)
+        )
+        depthf = jnp.asarray(depth, jnp.float32)
+        spts, snrm, svalid = scene_cloud_from_depth(
+            depthf,
+            jnp.asarray(bbox),
+            fx=self.cam.fx,
+            fy=self.cam.fy,
+            cx=self.cam.width / 2.0,
+            cy=self.cam.height / 2.0,
+        )
+        r, t, _ = icp_refine_batch(
+            self.model_pts,
+            spts,
+            snrm,
+            svalid,
+            rots,
+            trans,
+            iterations=self.iterations,
+            model_nrm=self.model_nrm,
+            tolerance=self.tolerance,
+            rejection_scale=self.rejection_scale,
+        )
+        means = _verify_means_batch(
+            self.marr,
+            r,
+            t,
+            depthf,
+            self.cam.fx,
+            self.cam.fy,
+            self.cam.width / 2.0,
+            self.cam.height / 2.0,
+            self.cam.width,
+            self.cam.height,
+        )
+        packed = np.asarray(
+            jnp.concatenate(
+                [r.reshape(pad_to, 9), t, means[:, None]], axis=1
+            )
+        )[:n]
+        best = int(np.argmin(packed[:, 12]))
+        if packed[best, 12] > VERIFY_ACCEPT_MM:
+            return None
+        return ObjectPose(
+            translation=packed[best, 9:12].astype(np.float64),
+            quaternion=mat_to_quat(packed[best, :9].reshape(3, 3)),
+            bounding_box=poses[best].bounding_box,
+        )
+
     def best_verified(self, depth: np.ndarray, poses: list):
         """Render each refined pose and accept the best if mean |delta| <= 35 mm.
 
@@ -253,7 +332,10 @@ class IcpRefiner:
         if not poses or self.marr is None:
             return poses[0] if poses else None
         n = len(poses)
-        pad_to = max(4, 1 << (n - 1).bit_length())
+        # pow2 bucketing only (1, 2, 4, ...): the common production group
+        # has a single candidate pose (number_wanted_poses=1), and a floor
+        # of 4 would quadruple the ICP NN/argmin compute for it
+        pad_to = 1 << (n - 1).bit_length()
         padded = poses + [poses[-1]] * (pad_to - n)
         rots = jnp.asarray(
             np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)

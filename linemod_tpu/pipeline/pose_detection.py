@@ -421,8 +421,9 @@ def postprocess_matches(
     for group_poses in grouped_pose_sets:
         if icp is not None and settings.use_icp:
             depth_f = depth_c.astype(np.float32)
-            refined = icp.refine(depth_f, group_poses)
-            best = icp.best_verified(depth_f, refined)
+            # fused refine + verify: one device fetch per group (ops/icp.py
+            # refine_best) instead of refine + verify round trips
+            best = icp.refine_best(depth_f, group_poses)
             if best is not None:
                 poses.append(best)
         else:

@@ -148,3 +148,24 @@ class TestMetrics:
             (np.asarray(rot) @ rotation_about_axis([0, 1, 0], np.radians(30))).astype(np.float32)
         )
         assert float(adds_error(sub, r, t, rsym, t)) < OBJECT_DIAMETER
+
+
+def test_refine_best_equals_two_call_api(fixture_scene):
+    """The fused refine_best must pick the same pose as refine +
+    best_verified (one device fetch vs three)."""
+    mesh, marr, gt_rot, gt_trans, depth = fixture_scene
+    refiner = IcpRefiner(mesh, CAM, sample_step=8, mesh_arrays=marr)
+    off = ObjectPose(
+        translation=gt_trans + np.array([6.0, -4.0, 10.0]),
+        quaternion=mat_to_quat(gt_rot),
+        bounding_box=(240, 200, 160, 160),
+    )
+    refined = refiner.refine(depth, [off])
+    two_call = refiner.best_verified(depth, refined)
+    fused = refiner.refine_best(depth, [off])
+    assert (two_call is None) == (fused is None)
+    if fused is not None:
+        np.testing.assert_allclose(fused.translation, two_call.translation, atol=1e-4)
+        np.testing.assert_allclose(
+            np.abs(np.dot(fused.quaternion, two_call.quaternion)), 1.0, atol=1e-6
+        )
