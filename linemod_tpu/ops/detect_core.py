@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .matching import MatchState, match_templates, match_templates_quant
 
@@ -67,6 +68,33 @@ def detect_frame_dual(state: MatchState, color: jax.Array, depth: jax.Array):
     return _pack(
         match_templates(state, color.astype(jnp.float32), depth.astype(jnp.float32))
     )
+
+
+def delta_encode_host(color_bgr: np.ndarray) -> np.ndarray:
+    """PNG-style horizontal predictor, host side (vectorized numpy, ~2.5 ms
+    at 640x480 on 2 cores): planar [3, H, W] u8 where column 0 is absolute
+    and the rest are mod-256 row deltas. The axon transport compresses
+    uploads (measured: an all-zero 921 KB frame uploads in ~10 ms, a random
+    one in ~39 ms, a real frame in ~22 ms), so shrinking the COMPRESSED
+    size — zlib ratio 0.61 delta'd vs 0.72 raw — buys upload time that far
+    exceeds the on-device decode (a cumsum fused into the frame program)."""
+    planar = color_bgr.transpose(2, 0, 1)
+    d = planar.astype(np.int16)
+    out = np.empty_like(planar)
+    out[:, :, 0] = planar[:, :, 0]
+    out[:, :, 1:] = (d[:, :, 1:] - d[:, :, :-1]).astype(np.uint8)
+    return out
+
+
+@jax.jit
+def detect_frame_delta(state: MatchState, delta: jax.Array):
+    """Color-only per-frame program taking the delta-encoded planar frame
+    (delta_encode_host); the mod-256 prefix sum reconstructs the exact
+    image on device."""
+    c = jnp.cumsum(delta.astype(jnp.int32), axis=2) & 255
+    colorf = c.astype(jnp.float32).transpose(1, 2, 0)
+    depth_unused = jnp.zeros(colorf.shape[:2], jnp.float32)
+    return _pack(match_templates(state, colorf, depth_unused))
 
 
 @jax.jit

@@ -19,7 +19,9 @@ import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
 from ..ops.detect_core import (
+    delta_encode_host,
     detect_frame,
+    detect_frame_delta,
     detect_frame_dual,
     detect_frame_quant,
     detect_frames_batch,
@@ -153,6 +155,16 @@ class PoseDetection:
                 and native.available()
             )
         self.host_quant = host_quant and not bank.dual_modality
+        # delta-encoded color upload (color-only, when not host-quantizing):
+        # see detect_submit. On TPU transports only — on CPU the "upload"
+        # is a memcpy and the encode would be pure overhead.
+        import jax as _jax
+
+        self.delta_transport = (
+            not bank.dual_modality
+            and not self.host_quant
+            and _jax.default_backend() == "tpu"
+        )
 
     # ------------------------------------------------------------------
     def recenter(self, img: np.ndarray) -> np.ndarray:
@@ -212,6 +224,15 @@ class PoseDetection:
             q0, q1 = native.quantize_frame(color_c)
             packed = detect_frame_quant(
                 self.state, jnp.asarray(q0), jnp.asarray(q1)
+            )
+        elif self.delta_transport:
+            # delta-encoded upload: the transport compresses, and the
+            # PNG-style predictor shrinks the compressed frame ~15%
+            # (ops/detect_core.delta_encode_host); decode is a cumsum
+            # fused into the device program, output bit-identical
+            packed = detect_frame_delta(
+                self.state,
+                jnp.asarray(delta_encode_host(color_c.astype(np.uint8))),
             )
         else:
             packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))

@@ -410,3 +410,24 @@ class TestGuardedCut:
         finally:
             monkeypatch.setattr(jax.lax, "approx_max_k", real_approx)
         assert got == want
+
+
+def test_delta_transport_bit_identical(rng):
+    """detect_frame_delta(delta_encode_host(img)) must equal
+    detect_frame(img) exactly — the delta transport is a pure wire
+    encoding."""
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+    from linemod_tpu.ops.detect_core import (
+        delta_encode_host,
+        detect_frame,
+        detect_frame_delta,
+    )
+    from linemod_tpu.ops.matching import MatchConfig, build_match_state
+
+    bank = make_synthetic_bank(32, seed=4, bbox_wh=48)
+    cfg = MatchConfig(width=320, height=240, top_k=32, template_chunk=32)
+    state = build_match_state(bank, cfg)
+    img = rng.integers(0, 256, (240, 320, 3)).astype(np.uint8)
+    ref = np.asarray(detect_frame(state, jnp.asarray(img)))
+    got = np.asarray(detect_frame_delta(state, jnp.asarray(delta_encode_host(img))))
+    np.testing.assert_array_equal(ref, got)
