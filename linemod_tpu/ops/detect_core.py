@@ -98,6 +98,16 @@ def detect_frame_delta(state: MatchState, delta: jax.Array):
 
 
 @jax.jit
+def detect_frame_dual_delta(state: MatchState, delta: jax.Array, depth: jax.Array):
+    """Dual-modality program with the color leg delta-encoded (the depth
+    image already zlib-compresses ~10:1 raw on the wire, so only color
+    benefits from the predictor)."""
+    c = jnp.cumsum(delta.astype(jnp.int32), axis=2) & 255
+    colorf = c.astype(jnp.float32).transpose(1, 2, 0)
+    return _pack(match_templates(state, colorf, depth.astype(jnp.float32)))
+
+
+@jax.jit
 def detect_frames_batch(state: MatchState, colors: jax.Array):
     """Multi-frame color-only program: colors [B, H, W, 3] uint8 ->
     packed [B, top_k, 5].

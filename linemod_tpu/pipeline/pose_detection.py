@@ -155,15 +155,13 @@ class PoseDetection:
                 and native.available()
             )
         self.host_quant = host_quant and not bank.dual_modality
-        # delta-encoded color upload (color-only, when not host-quantizing):
-        # see detect_submit. On TPU transports only — on CPU the "upload"
-        # is a memcpy and the encode would be pure overhead.
+        # delta-encoded color upload (when not host-quantizing): see
+        # detect_submit. On TPU transports only — on CPU the "upload" is a
+        # memcpy and the encode would be pure overhead.
         import jax as _jax
 
         self.delta_transport = (
-            not bank.dual_modality
-            and not self.host_quant
-            and _jax.default_backend() == "tpu"
+            not self.host_quant and _jax.default_backend() == "tpu"
         )
 
     # ------------------------------------------------------------------
@@ -213,11 +211,20 @@ class PoseDetection:
         color_c = self.recenter(np.ascontiguousarray(color))
         depth_c = self.recenter(np.ascontiguousarray(depth))
         if self.bank.dual_modality:
-            packed = detect_frame_dual(
-                self.state,
-                jnp.asarray(color_c.astype(np.uint8)),
-                jnp.asarray(depth_c),
-            )
+            from ..ops.detect_core import detect_frame_dual_delta
+
+            if self.delta_transport:
+                packed = detect_frame_dual_delta(
+                    self.state,
+                    jnp.asarray(delta_encode_host(color_c.astype(np.uint8))),
+                    jnp.asarray(depth_c),
+                )
+            else:
+                packed = detect_frame_dual(
+                    self.state,
+                    jnp.asarray(color_c.astype(np.uint8)),
+                    jnp.asarray(depth_c),
+                )
         elif self.host_quant:
             from ..utils import native
 

@@ -126,3 +126,27 @@ class TestDualModality:
             )
             assert sim >= sim0 - 1e-3, f"shift ({dx},{dy}): sim {sim} vs {sim0}"
             assert (x - x0, y - y0) == (dx, dy)
+
+
+def test_dual_delta_transport_bit_identical(dual_setup):
+    """detect_frame_dual_delta == detect_frame_dual on the same frame."""
+    import jax.numpy as jnp
+
+    from linemod_tpu.ops.detect_core import (
+        delta_encode_host,
+        detect_frame_dual,
+        detect_frame_dual_delta,
+    )
+
+    cam, settings, props, mesh, bank = dual_setup
+    det = PoseDetection(bank, cam, settings, props)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (480, 640, 3)).astype(np.uint8)
+    depth = rng.uniform(400, 900, (480, 640)).astype(np.float32)
+    ref = np.asarray(detect_frame_dual(det.state, jnp.asarray(img), jnp.asarray(depth)))
+    got = np.asarray(
+        detect_frame_dual_delta(
+            det.state, jnp.asarray(delta_encode_host(img)), jnp.asarray(depth)
+        )
+    )
+    np.testing.assert_array_equal(ref, got)
