@@ -120,3 +120,10 @@ def detect_frames_batch(state: MatchState, colors: jax.Array):
     batching rule would rebuild the grid; sequential device time per frame
     is unchanged and that is not the bottleneck."""
     return jax.lax.map(lambda c: detect_frame(state, c), colors)
+
+
+@jax.jit
+def detect_frames_batch_delta(state: MatchState, deltas: jax.Array):
+    """Multi-frame color-only program over delta-encoded frames
+    (deltas [B, 3, H, W] from delta_encode_host per frame)."""
+    return jax.lax.map(lambda d: detect_frame_delta(state, d), deltas)

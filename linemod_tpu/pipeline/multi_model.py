@@ -23,7 +23,13 @@ import numpy as np
 
 from ..config import CameraParameters, ModelProperties, TemplateSettings
 from ..models.template_bank import TemplateBank, concat_banks
-from ..ops.detect_core import detect_frame, detect_frame_dual
+from ..ops.detect_core import (
+    delta_encode_host,
+    detect_frame,
+    detect_frame_delta,
+    detect_frame_dual,
+    detect_frame_dual_delta,
+)
 from ..ops.matching import build_match_state
 from .pose_detection import (
     DetectionDebug,
@@ -91,6 +97,11 @@ class MultiModelPoseDetection:
             n_classes=len(self.class_ids),
         )
         self.dual = combined.dual_modality
+        import jax as _jax
+
+        # delta-encoded color upload on TPU transports (see
+        # PoseDetection.delta_transport / ops/detect_core.delta_encode_host)
+        self.delta_transport = _jax.default_backend() == "tpu"
         self.state = build_match_state(_pad_bank(combined, cfg.template_chunk), cfg)
         self._hull_masks = {c: {} for c in self.class_ids}
         # recentring is shared with the single-model orchestrator
@@ -101,8 +112,22 @@ class MultiModelPoseDetection:
         color_c = self.recenter(np.ascontiguousarray(color))
         depth_c = self.recenter(np.ascontiguousarray(depth))
         if self.dual:
-            packed = detect_frame_dual(
-                self.state, jnp.asarray(color_c.astype(np.uint8)), jnp.asarray(depth_c)
+            if self.delta_transport:
+                packed = detect_frame_dual_delta(
+                    self.state,
+                    jnp.asarray(delta_encode_host(color_c.astype(np.uint8))),
+                    jnp.asarray(depth_c),
+                )
+            else:
+                packed = detect_frame_dual(
+                    self.state,
+                    jnp.asarray(color_c.astype(np.uint8)),
+                    jnp.asarray(depth_c),
+                )
+        elif self.delta_transport:
+            packed = detect_frame_delta(
+                self.state,
+                jnp.asarray(delta_encode_host(color_c.astype(np.uint8))),
             )
         else:
             packed = detect_frame(self.state, jnp.asarray(color_c.astype(np.uint8)))

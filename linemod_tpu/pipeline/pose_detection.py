@@ -257,8 +257,16 @@ class PoseDetection:
             )
             for c, d in frames
         ]
-        colors = np.stack([c for c, _ in recentred]).astype(np.uint8)
-        packed = detect_frames_batch(self.state, jnp.asarray(colors))
+        if self.delta_transport:
+            from ..ops.detect_core import detect_frames_batch_delta
+
+            deltas = np.stack(
+                [delta_encode_host(c.astype(np.uint8)) for c, _ in recentred]
+            )
+            packed = detect_frames_batch_delta(self.state, jnp.asarray(deltas))
+        else:
+            colors = np.stack([c for c, _ in recentred]).astype(np.uint8)
+            packed = detect_frames_batch(self.state, jnp.asarray(colors))
         return packed, recentred
 
     def detect_collect_batch(self, handle, num_objects: int = 1):
