@@ -70,7 +70,11 @@ def run_pipeline(report_accuracy: bool):
     # (detect_stream overlaps upload, device compute, and the ~50 ms fetch
     # round-trips of the remote transport), so each frame costs
     # max(upload, device) time, not round-trip time. The transport rate is
-    # noisy run-to-run, so the headline is the median of REPEATS runs.
+    # noisy run-to-run, so the headline is the median of REPEATS runs, and
+    # a short untimed stream first absorbs the transport's cold-start
+    # (first-stream rates measure ~2x low on this tunnel).
+    for _ in det.detect_stream((color, depth) for _ in range(10)):
+        pass
     rates = []
     for _ in range(REPEATS):
         t0 = time.time()
