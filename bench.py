@@ -206,7 +206,13 @@ def main():
     }
     if disk_fps is not None:
         # secondary metric: disk-to-pose over an on-disk PNG sequence
-        # (decode + prefetch + upload + detect), see run_pipeline
+        # (decode + prefetch + upload + detect), see run_pipeline. NOTE:
+        # this is a single run while the headline is a median of 3, and the
+        # tunnel's throughput drifts +-20-30% on minutes timescales, so
+        # disk_to_pose can occasionally read ABOVE the headline when its
+        # run lands in a better transport phase — decode+IO are fully
+        # overlapped by the prefetch loader, so the two paths' true costs
+        # differ by less than the phase noise.
         result["disk_to_pose_fps"] = round(disk_fps, 3)
     if icp_fps is not None:
         result["icp_fps"] = round(icp_fps, 3)
