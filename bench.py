@@ -23,7 +23,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 EXAMPLE = os.path.join(REPO, "example")
 CPU_BASELINE_FILE = os.path.join(REPO, "baseline_cpu.json")
 FRAMES = 60
-REPEATS = 3  # median-of-REPEATS for the headline (transport rate is noisy)
+# median-of-REPEATS for the headline: the tunnel's throughput drifts
+# +-20-30% in phases lasting minutes, so more reps span more phases and the
+# median converges to the nominal rate
+REPEATS = 5
 
 
 def run_pipeline(report_accuracy: bool):
