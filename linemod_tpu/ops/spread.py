@@ -43,14 +43,33 @@ def spread_orientations(quantized: jax.Array, t: int) -> jax.Array:
     """OR-spread the one-hot orientation bytes over a T x T forward window.
 
     quantized: [H, W] uint8. Returns [H, W] uint8.
+
+    OR over a rectangular window is separable and associative, so the T x T
+    window is built per axis by doubling: after step k the accumulator
+    covers a forward run of 2^k, and a final residual shift tops the run up
+    to exactly T — ceil(log2 T)+1 ORs per axis instead of T, 2*O(log T)
+    total instead of T^2 (64 -> 6 shifted ORs at the coarse T=8).
     """
     h, w = quantized.shape
-    acc = jnp.zeros((h, w), jnp.uint8)
-    padded = jnp.pad(quantized, ((0, t), (0, t)))
-    for dy in range(t):
-        for dx in range(t):
-            acc = acc | jax.lax.dynamic_slice(padded, (dy, dx), (h, w))
-    return acc
+
+    def axis_spread(x, axis):
+        # pad the axis by t, double on the padded array with wrapping rolls:
+        # the total shift is t-1, so wrapped values stay in the padding
+        # (indices >= real extent + 1) and never reach the cropped output
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (0, t)
+        acc = jnp.pad(x, pad)
+        run = 1
+        while run * 2 <= t:
+            acc = acc | jnp.roll(acc, -run, axis=axis)
+            run *= 2
+        if run < t:
+            acc = acc | jnp.roll(acc, -(t - run), axis=axis)
+        return acc
+
+    acc = axis_spread(quantized, 0)
+    acc = axis_spread(acc, 1)
+    return acc[:h, :w]
 
 
 @jax.jit
