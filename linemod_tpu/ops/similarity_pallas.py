@@ -39,31 +39,36 @@ TILE_W = 128
 MAX_F = 64
 
 
-def _make_coarse_kernel(rows_used: int, lanes_used: int):
+def _make_coarse_kernel(rows_used: int, lanes_used: int, tpb: int):
     def _coarse_kernel(off_ref, planes_ref, out_ref):
-        """off_ref: [1, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
-        stride] VMEM; out_ref: [1, TILE_H, TILE_W] VMEM int32.
+        """off_ref: [tpb, F, 3] SMEM (plane, sy, sx); planes_ref: [P, rows,
+        stride] VMEM; out_ref: [tpb, TILE_H, TILE_W] VMEM int32.
+
+        tpb templates per program amortize the per-program launch +
+        prologue overhead (measured 1.70 -> 1.50 ms over 2048 templates on
+        v5e at tpb=4, bit-identical output).
 
         Lane rotation may wrap when lanes_used < sx + TILE_W; the wrapped
         values land in output lanes >= lanes_used - max_shift >= grid width
         (linear_plane_shape invariant), which the caller crops away."""
         n_feat = off_ref.shape[1]
 
-        def body(f, acc):
-            p = off_ref[0, f, 0]
-            sy = off_ref[0, f, 1]
-            sx = off_ref[0, f, 2]
-            # static row/lane crop (sy <= rows_used - TILE_H)
-            blk = planes_ref[p, 0:rows_used, 0:lanes_used].astype(jnp.int32)
-            blk = pltpu.roll(blk, rows_used - sy, axis=0)
-            blk = pltpu.roll(blk[0:TILE_H], lanes_used - sx, axis=1)
-            return acc + blk[:, 0:TILE_W]
+        for tt in range(tpb):
+            def body(f, acc, _tt=tt):
+                p = off_ref[_tt, f, 0]
+                sy = off_ref[_tt, f, 1]
+                sx = off_ref[_tt, f, 2]
+                # static row/lane crop (sy <= rows_used - TILE_H)
+                blk = planes_ref[p, 0:rows_used, 0:lanes_used].astype(jnp.int32)
+                blk = pltpu.roll(blk, rows_used - sy, axis=0)
+                blk = pltpu.roll(blk[0:TILE_H], lanes_used - sx, axis=1)
+                return acc + blk[:, 0:TILE_W]
 
-        acc = jax.lax.fori_loop(
-            0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
-            unroll=n_feat,  # Pallas lowering supports only full unroll or 1
-        )
-        out_ref[0] = acc
+            acc = jax.lax.fori_loop(
+                0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
+                unroll=n_feat,  # Pallas lowering supports only full unroll or 1
+            )
+            out_ref[tt] = acc
 
     return _coarse_kernel
 
@@ -83,14 +88,15 @@ def coarse_scores_pallas(
     lanes_used = min(stride, ((TILE_W + max_shift + 127) // 128) * 128)
     if rows_used % 8 or (lanes_used < stride and max_shift > lanes_used - TILE_W):
         raise ValueError(f"unsupported plane geometry {planes.shape}, {max_shift}")
+    tpb = next(d for d in (4, 2, 1) if n % d == 0)
     return pl.pallas_call(
-        _make_coarse_kernel(rows_used, lanes_used),
-        grid=(n,),
+        _make_coarse_kernel(rows_used, lanes_used, tpb),
+        grid=(n // tpb,),
         in_specs=[
-            pl.BlockSpec((1, mf, 3), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tpb, mf, 3), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_H, TILE_W), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((tpb, TILE_H, TILE_W), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, TILE_H, TILE_W), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=n * mf * 3 * rows_used * 256,
