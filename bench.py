@@ -22,11 +22,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 EXAMPLE = os.path.join(REPO, "example")
 CPU_BASELINE_FILE = os.path.join(REPO, "baseline_cpu.json")
-FRAMES = 60
+FRAMES = 30
 # median-of-REPEATS for the headline: the tunnel's throughput drifts
-# +-20-30% in phases lasting minutes, so more reps span more phases and the
-# median converges to the nominal rate
-REPEATS = 5
+# +-20-30% in phases lasting minutes, so many short reps sample more phases
+# than a few long ones (same total frames) and the median converges to the
+# nominal rate
+REPEATS = 10
 
 
 def run_pipeline(report_accuracy: bool):
