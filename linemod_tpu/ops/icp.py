@@ -31,6 +31,14 @@ REJECTION_SCALE = 2.5
 ITERATIONS = 16  # reference: 6 outer x 8 levels; one flat loop suffices on TPU
 VERIFY_ACCEPT_MM = 35.0  # correctEstimateTreshold
 VERIFY_SCENE_MIN_MM = 600.0  # scene cut (src/HighLevelLinemodIcp.cpp:109)
+# Verify renders a static window centred on the group's bbox instead of the
+# full frame: rendered pixels all land near the candidate pose's projection
+# (template bboxes are ~100-200 px), so a 384 px window sees every pixel the
+# full-frame verify would score while the rasterizer touches 3.4x fewer
+# pixels (measured 14.3 -> ~4 ms per pose on v5e). A pose so wrong that it
+# renders outside the window loses its out-of-window pixels from the mean —
+# such poses are cm-level-off rejects either way (gate is 35 mm).
+VERIFY_WINDOW = 384
 
 
 def _exp_so3(w):
@@ -139,6 +147,70 @@ def verify_mean_depth_diff(depth_scene, depth_render):
     return jnp.sum(jnp.where(m, diff, 0.0)) / cnt.astype(jnp.float32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fx", "fy", "cx", "cy", "w", "h", "iterations", "tolerance",
+        "rejection_scale",
+    ),
+)
+def _refine_verify_groups(
+    model_pts,
+    model_nrm,
+    marr,
+    depth_raw,  # [H, W] scene depth mm (recentred; u16 or f32 — cast on device)
+    bboxes,  # [G, 4] int32 per-group (x, y, w, h)
+    rots,  # [G, P, 3, 3] initial rotations
+    trans,  # [G, P, 3]
+    fx, fy, cx, cy, w, h,
+    iterations, tolerance, rejection_scale,
+):
+    """Whole-frame fused ICP: every group's scene-cloud build, batched
+    refine, candidate renders and verify scores in ONE device program, so
+    the host pays ONE fetch for the frame's entire ICP leg regardless of
+    group count (the reference's per-group host loop,
+    src/PoseDetection.cpp:72-84, is free host-side; each fetch here is a
+    ~25-50 ms transport round trip). Returns packed [G, P, 13]
+    (rotation 9 + translation 3 + verify mean 1).
+
+    Verify renders a VERIFY_WINDOW crop centred on the group's bbox (see the
+    constant's note); lax.map over groups keeps the renderer's band-culling
+    lax.cond a real branch. The depth image crosses the link in its capture
+    dtype (u16, 614 KB — zlib-friendly on the compressing transport) and is
+    cast here."""
+    depthf = depth_raw.astype(jnp.float32)
+    vw = min(VERIFY_WINDOW, w, h)
+    padded = jnp.pad(depthf, ((0, vw), (0, vw)))
+
+    def per_group(args):
+        bbox, r0, t0 = args
+        spts, snrm, svalid = scene_cloud_from_depth(
+            depthf, bbox, fx=fx, fy=fy, cx=cx, cy=cy
+        )
+        r, t, _ = icp_refine_batch(
+            model_pts, spts, snrm, svalid, r0, t0,
+            iterations=iterations, model_nrm=model_nrm,
+            tolerance=tolerance, rejection_scale=rejection_scale,
+        )
+        ox = jnp.clip(bbox[0] + bbox[2] // 2 - vw // 2, 0, w - vw)
+        oy = jnp.clip(bbox[1] + bbox[3] // 2 - vw // 2, 0, h - vw)
+        crop = jax.lax.dynamic_slice(padded, (oy, ox), (vw, vw))
+
+        def one(rt):
+            dr = render(
+                marr, rt[0], rt[1], fx, fy, cx, cy, width=vw, height=vw,
+                origin=(ox, oy),
+            )
+            return verify_mean_depth_diff(crop, dr)
+
+        means = jax.lax.map(one, (r, t))
+        return jnp.concatenate(
+            [r.reshape(-1, 9), t, means[:, None]], axis=1
+        )
+
+    return jax.lax.map(per_group, (bboxes, rots, trans))
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "w", "h"))
 def _verify_means_batch(marr, rots, trans, depth_scene, fx, fy, cx, cy, w, h):
     """Render every candidate pose and score it against the scene in ONE
@@ -245,81 +317,89 @@ class IcpRefiner:
             for i in range(len(poses))
         ]
 
-    def refine_best(self, depth: np.ndarray, poses: list):
-        """Fused refine + verify-by-render with ONE device fetch.
+    def refine_submit(self, depth: np.ndarray, groups: list):
+        """Enqueue the fused refine+verify program for ALL of a frame's
+        groups (list of non-empty pose lists); returns a handle for
+        refine_collect. One device program, one later fetch, regardless of
+        group count — the frame's whole ICP leg costs one transport round
+        trip, and a streaming caller overlaps that round trip with the next
+        frame's match (pipeline/pose_detection.detect_stream).
 
-        Equivalent to refine(depth, poses) followed by
-        best_verified(depth, refined), but the intermediate poses never
-        visit the host: the scene-cloud build, the batched ICP, the
-        candidate renders and the verify scores chain as async dispatches
-        on device, and a single packed [P, 13] array (rotation 9 +
-        translation 3 + verify mean 1) is fetched. On the remote transport
-        each fetch is a ~50 ms round trip, so this halves-or-better the
-        ICP path's per-group latency vs the two-call API (which stays for
-        callers that want the intermediate refined poses)."""
-        if not poses:
+        Group count and per-group pose count are pow2-bucketed so the
+        program compiles once per (G, P) bucket; padding repeats the last
+        group/pose, whose results the collect step slices away."""
+        if not groups:
             return None
-        if self.marr is None:
-            return self.refine(depth, poses)[0]
-        bbox = np.asarray(poses[0].bounding_box, np.int32)
-        n = len(poses)
-        # pow2 bucketing only (1, 2, 4, ...): the common production group
-        # has a single candidate pose (number_wanted_poses=1), and a floor
-        # of 4 would quadruple the ICP NN/argmin compute for it
-        pad_to = 1 << (n - 1).bit_length()
-        padded = poses + [poses[-1]] * (pad_to - n)
-        rots = jnp.asarray(
-            np.stack([quat_to_mat(p.quaternion) for p in padded]).astype(np.float32)
-        )
-        trans = jnp.asarray(
-            np.stack([p.translation for p in padded]).astype(np.float32)
-        )
-        depthf = jnp.asarray(depth, jnp.float32)
-        spts, snrm, svalid = scene_cloud_from_depth(
-            depthf,
-            jnp.asarray(bbox),
-            fx=self.cam.fx,
-            fy=self.cam.fy,
-            cx=self.cam.width / 2.0,
-            cy=self.cam.height / 2.0,
-        )
-        r, t, _ = icp_refine_batch(
+        n_groups = len(groups)
+        g_pad = 1 << (n_groups - 1).bit_length()
+        p_max = max(len(g) for g in groups)
+        p_pad = 1 << (p_max - 1).bit_length()
+        padded_groups = list(groups) + [groups[-1]] * (g_pad - n_groups)
+        rots = np.empty((g_pad, p_pad, 3, 3), np.float32)
+        trans = np.empty((g_pad, p_pad, 3), np.float32)
+        bboxes = np.empty((g_pad, 4), np.int32)
+        for i, g in enumerate(padded_groups):
+            gp = list(g) + [g[-1]] * (p_pad - len(g))
+            rots[i] = np.stack([quat_to_mat(p.quaternion) for p in gp])
+            trans[i] = np.stack([p.translation for p in gp])
+            bboxes[i] = np.asarray(g[0].bounding_box, np.int32)
+        packed = _refine_verify_groups(
             self.model_pts,
-            spts,
-            snrm,
-            svalid,
-            rots,
-            trans,
-            iterations=self.iterations,
-            model_nrm=self.model_nrm,
-            tolerance=self.tolerance,
-            rejection_scale=self.rejection_scale,
-        )
-        means = _verify_means_batch(
+            self.model_nrm,
             self.marr,
-            r,
-            t,
-            depthf,
+            jnp.asarray(depth),  # capture dtype (u16 stays u16 on the wire)
+            jnp.asarray(bboxes),
+            jnp.asarray(rots),
+            jnp.asarray(trans),
             self.cam.fx,
             self.cam.fy,
             self.cam.width / 2.0,
             self.cam.height / 2.0,
             self.cam.width,
             self.cam.height,
+            self.iterations,
+            self.tolerance,
+            self.rejection_scale,
         )
-        packed = np.asarray(
-            jnp.concatenate(
-                [r.reshape(pad_to, 9), t, means[:, None]], axis=1
+        return packed, groups
+
+    def refine_collect(self, handle) -> list:
+        """Fetch a refine_submit handle; returns one ObjectPose-or-None per
+        submitted group (the group's best verified pose if its mean depth
+        agreement passes the 35 mm gate)."""
+        if handle is None:
+            return []
+        packed_dev, groups = handle
+        packed = np.asarray(packed_dev)
+        out = []
+        for i, g in enumerate(groups):
+            pg = packed[i, : len(g)]
+            best = int(np.argmin(pg[:, 12]))
+            if pg[best, 12] > VERIFY_ACCEPT_MM:
+                out.append(None)
+                continue
+            out.append(
+                ObjectPose(
+                    translation=pg[best, 9:12].astype(np.float64),
+                    quaternion=mat_to_quat(pg[best, :9].reshape(3, 3)),
+                    bounding_box=g[best].bounding_box,
+                )
             )
-        )[:n]
-        best = int(np.argmin(packed[:, 12]))
-        if packed[best, 12] > VERIFY_ACCEPT_MM:
+        return out
+
+    def refine_best_many(self, depth: np.ndarray, groups: list) -> list:
+        """Synchronous submit+collect: one best-verified pose (or None) per
+        group, with one device fetch for the whole frame."""
+        return self.refine_collect(self.refine_submit(depth, groups))
+
+    def refine_best(self, depth: np.ndarray, poses: list):
+        """Fused refine + verify-by-render for ONE group with ONE device
+        fetch (see _refine_verify_groups / refine_submit)."""
+        if not poses:
             return None
-        return ObjectPose(
-            translation=packed[best, 9:12].astype(np.float64),
-            quaternion=mat_to_quat(packed[best, :9].reshape(3, 3)),
-            bounding_box=poses[best].bounding_box,
-        )
+        if self.marr is None:
+            return self.refine(depth, poses)[0]
+        return self.refine_best_many(depth, [poses])[0]
 
     def best_verified(self, depth: np.ndarray, poses: list):
         """Render each refined pose and accept the best if mean |delta| <= 35 mm.

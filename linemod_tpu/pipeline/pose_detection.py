@@ -283,8 +283,8 @@ class PoseDetection:
         self,
         frames,
         num_objects: int = 1,
-        pipeline_depth: int = 4,
-        workers: int = 3,
+        pipeline_depth: int | None = None,
+        workers: int | None = None,
         batch: int = 1,
     ):
         """Generator: detect over an iterable of (color, depth) with up to
@@ -302,6 +302,18 @@ class PoseDetection:
         preserves it)."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
+
+        # auto-sized pipeline: the ICP-on stream is TWO chained round trips
+        # per frame (match fetch, then ICP fetch), so it needs roughly twice
+        # the in-flight fetches of the one-trip stream to stay
+        # transport-latency-free (measured on the ~50 ms-RTT tunnel: 20 ->
+        # ~28 fps going from 3/4 to 8/12 with ICP on; the one-trip stream
+        # saturates at 3/4)
+        two_stage_icp = self.icp is not None and self.settings.use_icp
+        if workers is None:
+            workers = 8 if two_stage_icp else 3
+        if pipeline_depth is None:
+            pipeline_depth = 12 if two_stage_icp else 4
 
         use_batch = (
             batch > 1 and not self.bank.dual_modality and not self.host_quant
@@ -328,9 +340,28 @@ class PoseDetection:
                 while futs:
                     yield from futs.popleft().result()
                 return
+            # With ICP on, collection is two transport round trips (match
+            # fetch, then ICP fetch). Splitting them into two chained
+            # executor stages lets frame k's ICP fetch overlap frame k+1's
+            # match fetch — a worker picking up stage 2 blocks briefly on
+            # its own stage-1 future, which is safe: stages are submitted
+            # in dependency order, so FIFO workers always make progress.
+            two_stage = two_stage_icp
             for color, depth in frames:
                 handle = self.detect_submit(color, depth)
-                futs.append(ex.submit(self.detect_collect, handle, num_objects))
+                if two_stage:
+                    f1 = ex.submit(self._collect_phase1, handle)
+                    futs.append(
+                        ex.submit(
+                            lambda f=f1: self._collect_phase2(
+                                f.result(), num_objects
+                            )
+                        )
+                    )
+                else:
+                    futs.append(
+                        ex.submit(self.detect_collect, handle, num_objects)
+                    )
                 while len(futs) > pipeline_depth:
                     yield futs.popleft().result()
             while futs:
@@ -349,6 +380,19 @@ class PoseDetection:
         candidate actually reached in group order (exactly the reference's
         post-grouping check order, src/HighLevelLinemod.cpp:382-421 — no
         top-K truncation of which candidates can be checked)."""
+        return self._collect_phase2(
+            self._collect_phase1(handle, debug), num_objects
+        )
+
+    def _collect_phase1(self, handle, debug: DetectionDebug | None = None):
+        """Stage 1 of collection: fetch the match results (the first
+        transport round trip), run the host-side grouping + checks, and —
+        when ICP is on — SUBMIT the frame's fused per-group refine+verify
+        program (ops/icp.py refine_submit) without waiting for it. The
+        second round trip (the ICP fetch) then overlaps the next frame's
+        match in detect_stream's pipeline instead of serializing behind
+        this frame (round-4 weakness: the synchronous chain cost ~2 RTTs of
+        critical path per frame)."""
         packed, color_c, depth_c = handle
         packed = np.asarray(packed)
         valid = packed[:, 4] > 0.5
@@ -357,24 +401,33 @@ class PoseDetection:
         ys = packed[valid, 2]
         if debug is not None:
             debug.num_raw_matches = int(valid.sum())
-        return postprocess_matches(
-            tid,
-            xs,
-            ys,
-            self.bank,
-            self.props,
-            self.settings,
-            self.cam,
-            color_c,
-            depth_c,
-            num_objects,
-            self._hull_masks,
-            icp=self.icp,
-            debug=debug,
+        grouped = group_candidate_poses(
+            tid, xs, ys, self.bank, self.props, self.settings, self.cam,
+            color_c, depth_c, self._hull_masks, debug=debug,
         )
+        icp_handle = None
+        if self.icp is not None and self.settings.use_icp and grouped:
+            # depth ships in its capture dtype (u16 zlib-compresses ~10:1 on
+            # the wire; f32 would double the bytes) — cast happens on device
+            icp_handle = self.icp.refine_submit(depth_c, grouped)
+        return grouped, icp_handle
+
+    def _collect_phase2(self, phase1, num_objects: int = 1) -> list:
+        """Stage 2 of collection: fetch the ICP results (if submitted) and
+        select the final poses."""
+        grouped, icp_handle = phase1
+        if icp_handle is not None:
+            poses = []
+            for best in self.icp.refine_collect(icp_handle):
+                if best is not None:
+                    poses.append(best)
+                if len(poses) >= num_objects:
+                    break
+            return poses
+        return [g[0] for g in grouped[:num_objects]]
 
 
-def postprocess_matches(
+def group_candidate_poses(
     tid: np.ndarray,
     xs: np.ndarray,
     ys: np.ndarray,
@@ -384,14 +437,14 @@ def postprocess_matches(
     cam,
     color_c: np.ndarray,
     depth_c: np.ndarray,
-    num_objects: int,
     hull_masks: dict,
-    icp=None,
     debug: DetectionDebug | None = None,
 ) -> list:
-    """Group + validate + reconstruct poses for one class's valid matches
-    (the host half of the frame; shared by single- and multi-model
-    orchestration). tid is local to `bank`."""
+    """The pure-host half of post-processing: group the valid matches, run
+    the lazy per-candidate color/depth checks in reference post-grouping
+    order (src/HighLevelLinemod.cpp:382-421), and reconstruct candidate
+    poses. Returns a list of per-group pose lists (empty groups dropped);
+    pose selection / ICP happens on top of this (postprocess_matches)."""
     if len(tid) == 0:
         return []
 
@@ -406,7 +459,6 @@ def postprocess_matches(
 
     lower = np.asarray(props.lower_color_range, np.float32)
     upper = np.asarray(props.upper_color_range, np.float32)
-    poses: list[ObjectPose] = []
     grouped_pose_sets = []  # per group, candidate poses (for ICP's joint refine)
     for g in groups:
         g = np.asarray(g)
@@ -451,21 +503,58 @@ def postprocess_matches(
                 break
         if group_poses:
             grouped_pose_sets.append(group_poses)
+    return grouped_pose_sets
 
-    # ICP refinement + verify-by-render best-pose selection per group
-    # (src/PoseDetection.cpp:72-84); otherwise first pose per group.
-    for group_poses in grouped_pose_sets:
-        if icp is not None and settings.use_icp:
-            depth_f = depth_c.astype(np.float32)
-            # fused refine + verify: one device fetch per group (ops/icp.py
-            # refine_best) instead of refine + verify round trips
-            best = icp.refine_best(depth_f, group_poses)
+
+def postprocess_matches(
+    tid: np.ndarray,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    bank,
+    props,
+    settings,
+    cam,
+    color_c: np.ndarray,
+    depth_c: np.ndarray,
+    num_objects: int,
+    hull_masks: dict,
+    icp=None,
+    debug: DetectionDebug | None = None,
+) -> list:
+    """Group + validate + reconstruct poses for one class's valid matches
+    (the host half of the frame; shared by single- and multi-model
+    orchestration). tid is local to `bank`."""
+    grouped_pose_sets = group_candidate_poses(
+        tid, xs, ys, bank, props, settings, cam, color_c, depth_c,
+        hull_masks, debug=debug,
+    )
+    return select_group_poses(
+        grouped_pose_sets, settings, depth_c, num_objects, icp=icp
+    )
+
+
+def select_group_poses(
+    grouped_pose_sets: list, settings, depth_c, num_objects: int, icp=None
+) -> list:
+    """Pose selection per group: ICP refinement + verify-by-render when
+    enabled (src/PoseDetection.cpp:72-84) — ALL groups batched into one
+    device program with one fetch (ops/icp.py refine_best_many) — otherwise
+    the first pose per group."""
+    if not grouped_pose_sets:
+        return []
+    poses: list[ObjectPose] = []
+    if icp is not None and settings.use_icp:
+        results = icp.refine_best_many(depth_c, grouped_pose_sets)
+        for best in results:
             if best is not None:
                 poses.append(best)
-        else:
+            if len(poses) >= num_objects:
+                break
+    else:
+        for group_poses in grouped_pose_sets:
             poses.append(group_poses[0])
-        if len(poses) >= num_objects:
-            break
+            if len(poses) >= num_objects:
+                break
     return poses
 
 
