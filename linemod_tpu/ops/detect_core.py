@@ -27,7 +27,7 @@ from .matching import MatchState, match_templates, match_templates_quant
 
 
 def _pack(m):
-    return jnp.stack(
+    out = jnp.stack(
         [
             m["template_id"].astype(jnp.float32),
             m["x"].astype(jnp.float32),
@@ -37,6 +37,15 @@ def _pack(m):
         ],
         axis=1,
     )
+    if "cut_exact" in m:
+        # prefiltered-cut exactness proof rides as ONE extra row
+        # (flag, 0, 0, 0, valid=0): host code that only reads valid rows is
+        # unaffected; pose_detection checks it to retry saturated frames
+        flag = jnp.zeros((1, 5), jnp.float32).at[0, 0].set(
+            m["cut_exact"].astype(jnp.float32)
+        )
+        out = jnp.concatenate([out, flag], axis=0)
+    return out
 
 
 @jax.jit

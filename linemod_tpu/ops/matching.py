@@ -84,6 +84,23 @@ class MatchConfig:
     # candidates, and tie order (sim desc, then global flat index asc) is
     # preserved because chunks arrive in ascending template order.
     scan_chunk: int = 0
+    # Prefiltered exact cut for LARGE banks: phase 1 reduces the whole bank
+    # to one masked-max score per template (a Pallas kernel that writes 4
+    # bytes per template instead of the dense score tiles — ~1.6 GB/frame at
+    # the reference's configured 96k-template regime); phase 2 rescans only
+    # the top `prefilter_sel` templates by max and runs the exact cut there.
+    # Exactness: every global top-K (template, cell) entry's template max is
+    # >= the K-th global value v*, and v* >= theta (the prefilter's weakest
+    # selected max) because the selected templates alone supply
+    # prefilter_sel >= K values >= theta — so all contributing templates are
+    # selected unless maxes TIE at theta beyond the selection budget. That
+    # rare saturation (plus theta == v* >= threshold) is detected on device
+    # and reported via the packed `cut_exact` flag; the host re-runs such
+    # frames on the exact streaming cut (pipeline/pose_detection.py), the
+    # same report-and-retry shape the sharded two-round cut uses
+    # (parallel/sharded_match.py) — an in-program lax.cond fallback is a
+    # scheduling barrier. 0 = off. Takes precedence over scan_chunk.
+    prefilter_sel: int = 0
     # Blocked exact cut: batched per-block (this many templates per block)
     # value top-K, then a deterministic re-rank of the tiny merged set by
     # (sim desc, global flat index asc). Same top-K VALUES as the flat
@@ -477,6 +494,99 @@ def candidate_cut_streaming(state: MatchState, coarse_planes, top_k: int):
     return top_sim, cand_t, cand_g // cw, cand_g % cw
 
 
+def _template_maxes(state: MatchState, coarse_planes) -> jax.Array:
+    """Per-template masked max percent similarity over all coarse cells.
+
+    Returns [N] f32 (-1 where the template fits nowhere). Pallas engine
+    writes one scalar per template (coarse_max_pallas); the fallback scans
+    the bank in chunks and max-reduces each chunk's dense similarity."""
+    cfg = state.cfg
+    if cfg.use_pallas:
+        from .similarity_pallas import coarse_max_pallas
+
+        raw = coarse_max_pallas(
+            coarse_planes, state.off3_coarse, state.lim_coarse,
+            state.max_cells_coarse,
+        )
+        pct = (
+            raw.astype(jnp.float32)
+            * 100.0
+            / (MAX_RESPONSE * state.nf_coarse.astype(jnp.float32))
+        )
+        return jnp.where(raw < 0, -1.0, pct)
+    n = state.off_coarse.shape[0]
+    chunk = min(cfg.scan_chunk or 1024, n)
+    if n % chunk:
+        chunk = max(d for d in range(chunk, 0, -1) if n % d == 0)
+
+    def body(ci):
+        t0 = ci * chunk
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, t0, chunk)
+
+        sub = dataclasses.replace(
+            state,
+            off_coarse=sl(state.off_coarse),
+            nf_coarse=sl(state.nf_coarse),
+            lim_coarse=sl(state.lim_coarse),
+            off3_coarse=sl(state.off3_coarse),
+        )
+        return coarse_similarity(sub, coarse_planes).max(axis=1)
+
+    return jax.lax.map(
+        body, jnp.arange(n // chunk, dtype=jnp.int32)
+    ).reshape(-1)
+
+
+def candidate_cut_prefilter(state: MatchState, coarse_planes, top_k: int):
+    """Two-phase exact cut for large banks (see MatchConfig.prefilter_sel).
+
+    Phase 1: per-template masked max similarity (tiny output — the dense
+    [N, G] scores never materialize). Phase 2: gather the top `n_sel`
+    templates by (max desc, template asc), rescan ONLY them densely, exact
+    cut there. Returns (top_sim, cand_t, cand_gy, cand_gx, exact): `exact`
+    is the on-device proof that the output equals the full dense cut —
+    False only when template maxes tie at the selection boundary theta AND
+    the K-th candidate value sits at theta above threshold (host retries
+    those frames on the exact streaming cut)."""
+    cfg = state.cfg
+    n = state.off_coarse.shape[0]
+    n_sel = min(max(cfg.prefilter_sel, top_k), n)
+    cw = state.coarse_shape[1]
+
+    m_pct = _template_maxes(state, coarse_planes)
+    sel_sim, sel_idx = rank_by_sim_then_index(
+        m_pct, jnp.arange(n, dtype=jnp.int32), n_sel
+    )
+    theta = sel_sim[n_sel - 1]
+    saturated = jnp.sum((m_pct >= theta).astype(jnp.int32)) > n_sel
+    # ascending template order: phase-2's local (sim desc, flat idx asc)
+    # tie-ranking then coincides with the global composite order
+    sel_sorted = jnp.sort(sel_idx)
+    sub = dataclasses.replace(
+        state,
+        off_coarse=state.off_coarse[sel_sorted],
+        nf_coarse=state.nf_coarse[sel_sorted],
+        lim_coarse=state.lim_coarse[sel_sorted],
+        off3_coarse=state.off3_coarse[sel_sorted],
+    )
+    sim_c = coarse_similarity(sub, coarse_planes)
+    top_sim, ct, cand_gy, cand_gx = candidate_cut(cfg, sim_c, cw, top_k)
+    cand_t = sel_sorted[ct]
+    v_star = top_sim[top_k - 1]
+    # v* >= theta always (the selected templates alone supply n_sel >= K
+    # values >= theta). Strict inequality proves every possibly-contributing
+    # template was selected; v* below threshold means boundary ties can only
+    # shuffle candidates that finalize_matches discards anyway.
+    exact = (
+        (~saturated)
+        | (v_star > theta)
+        | (v_star < jnp.float32(cfg.threshold))
+    )
+    return top_sim, cand_t, cand_gy, cand_gx, exact
+
+
 def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
     """Refine candidates over the fine sub-cell window of their coarse cell.
 
@@ -567,7 +677,14 @@ def finalize_matches(cfg: MatchConfig, cand_t, sim, x, y, top_sim):
 def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
     cfg = state.cfg
     cw = state.coarse_shape[1]
-    if cfg.scan_chunk and state.off_coarse.shape[0] > cfg.scan_chunk:
+    cut_exact = None
+    if cfg.prefilter_sel and state.off_coarse.shape[0] > max(
+        cfg.prefilter_sel, cfg.top_k
+    ):
+        top_sim, cand_t, cand_gy, cand_gx, cut_exact = candidate_cut_prefilter(
+            state, coarse_planes, cfg.top_k
+        )
+    elif cfg.scan_chunk and state.off_coarse.shape[0] > cfg.scan_chunk:
         top_sim, cand_t, cand_gy, cand_gx = candidate_cut_streaming(
             state, coarse_planes, cfg.top_k
         )
@@ -575,4 +692,9 @@ def _match_with_planes(state: MatchState, fine_planes, coarse_planes):
         sim_c = coarse_similarity(state, coarse_planes)
         top_sim, cand_t, cand_gy, cand_gx = candidate_cut(cfg, sim_c, cw, cfg.top_k)
     sim, x, y = fine_refine(state, fine_planes, cand_t, cand_gy, cand_gx)
-    return finalize_matches(cfg, cand_t, sim, x, y, top_sim)
+    out = finalize_matches(cfg, cand_t, sim, x, y, top_sim)
+    if cut_exact is not None:
+        # exactness proof of the prefiltered cut; packed as an extra row by
+        # detect_core so the host can retry rare saturated frames
+        out["cut_exact"] = cut_exact
+    return out

@@ -107,6 +107,104 @@ def coarse_scores_pallas(
     )(off3, planes)
 
 
+def _make_coarse_max_kernel(rows_used: int, lanes_used: int, tpb: int):
+    def _coarse_max_kernel(off_ref, lim_ref, planes_ref, out_ref):
+        """Per-template masked MAX over the coarse grid — the phase-1 kernel
+        of the prefiltered candidate cut (ops/matching.candidate_cut_prefilter).
+
+        Identical accumulation to _coarse_kernel, but instead of writing the
+        [TILE_H, TILE_W] score tile to HBM it reduces it to ONE scalar: the
+        max raw score over the cells where the template fits
+        (lim_ref = per-template (gy_lim, gx_lim)). At the reference's 96k-
+        template regime the dense tiles are ~1.6 GB of HBM writes per frame;
+        this kernel writes 4 bytes per template. Wrapped rotation garbage
+        lands in rows/lanes >= the grid extent (see _coarse_kernel) and the
+        lim mask (lim <= grid extent) excludes it.
+
+        off_ref: [tpb, F, 3] SMEM; lim_ref: [tpb, 2] SMEM int32;
+        planes_ref: [P, rows, stride] VMEM; out_ref: [8, tpb] SMEM int32
+        (-1 where no cell fits). The output block is shared by 8 consecutive
+        programs (Mosaic requires the sublane dim of a block be 8-divisible);
+        each program writes its own row program_id % 8 — consecutive
+        revisits of one block are legal and flush once at the end."""
+        row = pl.program_id(0) % 8
+        n_feat = off_ref.shape[1]
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+
+        for tt in range(tpb):
+            def body(f, acc, _tt=tt):
+                p = off_ref[_tt, f, 0]
+                sy = off_ref[_tt, f, 1]
+                sx = off_ref[_tt, f, 2]
+                blk = planes_ref[p, 0:rows_used, 0:lanes_used].astype(jnp.int32)
+                blk = pltpu.roll(blk, rows_used - sy, axis=0)
+                blk = pltpu.roll(blk[0:TILE_H], lanes_used - sx, axis=1)
+                return acc + blk[:, 0:TILE_W]
+
+            acc = jax.lax.fori_loop(
+                0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
+                unroll=n_feat,
+            )
+            fits = (row_ids < lim_ref[tt, 0]) & (col_ids < lim_ref[tt, 1])
+            out_ref[row, tt] = jnp.max(jnp.where(fits, acc, -1))
+
+    return _coarse_max_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "interpret"))
+def coarse_max_pallas(
+    planes: jax.Array,
+    off3: jax.Array,
+    lim: jax.Array,
+    max_shift: int,
+    interpret: bool = False,
+):
+    """Per-template masked max raw score over the whole coarse grid.
+
+    planes/off3/max_shift as coarse_scores_pallas; lim: [N, 2] int32
+    (gy_lim, gx_lim) valid-cell bounds. Returns [N] int32 (-1 = no fit)."""
+    n, mf, _ = off3.shape
+    rows, stride = planes.shape[1], planes.shape[2]
+    rows_used = min(rows, ((TILE_H + max_shift + 7) // 8) * 8)
+    lanes_used = min(stride, ((TILE_W + max_shift + 127) // 128) * 128)
+    if rows_used % 8 or (lanes_used < stride and max_shift > lanes_used - TILE_W):
+        raise ValueError(f"unsupported plane geometry {planes.shape}, {max_shift}")
+    tpb = next(d for d in (8, 4, 2, 1) if n % d == 0)
+    # pad the template axis so the grid is a multiple of the 8 programs that
+    # share one output block; pad rows point at the zero plane with lim 0,
+    # so they emit -1 and are sliced away
+    n_pad = -(-n // (8 * tpb)) * (8 * tpb)
+    if n_pad > n:
+        pad3 = jnp.full((n_pad - n, mf, 3), 0, jnp.int32).at[:, :, 0].set(
+            planes.shape[0] - 1
+        )
+        off3 = jnp.concatenate([off3, pad3], axis=0)
+        lim = jnp.concatenate(
+            [lim, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
+        )
+    out = pl.pallas_call(
+        _make_coarse_max_kernel(rows_used, lanes_used, tpb),
+        grid=(n_pad // tpb,),
+        in_specs=[
+            pl.BlockSpec((tpb, mf, 3), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tpb, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, tpb), lambda t: (t // 8, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad // tpb, tpb), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=n * mf * 3 * rows_used * 256,
+            bytes_accessed=planes.size + n * (mf * 12 + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(off3, lim, planes)
+    return out.reshape(n_pad)[:n]
+
+
 SCALE = 8  # fine sub-cells per coarse cell (2 * t_coarse / t_fine, color-only)
 
 

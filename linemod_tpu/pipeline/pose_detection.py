@@ -80,17 +80,27 @@ def make_match_config(
         and (cam.height // 2) // t_coarse <= 32
         and (cam.width // 2) // t_coarse <= 128
     )
+    top_k = 512 * n_classes
+    # Large banks (the reference's configured regime reaches 96,300
+    # templates, linemod_settings.yml:21-27) never materialize the dense
+    # [N, G] similarity: the prefiltered exact cut reduces the bank to
+    # per-template maxes and rescans only the top prefilter_sel templates
+    # (MatchConfig.prefilter_sel); scan_chunk stays configured as the exact
+    # streaming engine the host retries rare saturated frames on.
+    big_bank = n_templates > 8192
     return MatchConfig(
         width=cam.width,
         height=cam.height,
         t_fine=5 if dual_modality else 2,
         t_coarse=t_coarse,
-        top_k=512 * n_classes,
+        top_k=top_k,
         threshold=settings.detector_threshold,
         dual_modality=dual_modality,
         template_chunk=min(256, _pad_chunk(n_templates)),
         use_pallas=use_pallas,
         approx_topk=False,
+        prefilter_sel=max(2 * top_k, 1024) if big_bank else 0,
+        scan_chunk=4096 if big_bank else 0,
         # guarded_cut stays OFF for production: real bin-picking scenes are
         # DENSE at the coarse level (the fixture frame has ~554k of 2.4M
         # (template, cell) pairs >= threshold 80 — T=8 spreading over a
@@ -162,6 +172,29 @@ class PoseDetection:
 
         self.delta_transport = (
             not self.host_quant and _jax.default_backend() == "tpu"
+        )
+
+    # ------------------------------------------------------------------
+    def _exact_rerun(self, color_c: np.ndarray, depth_c: np.ndarray):
+        """Exact-streaming-cut rerun of one frame (prefilter saturation
+        retry; compiled lazily — saturation needs template maxes tied at
+        the selection boundary, which real banks essentially never hit)."""
+        if getattr(self, "_exact_state", None) is None:
+            cfg = dataclasses.replace(
+                self.state.cfg, prefilter_sel=0,
+                scan_chunk=self.state.cfg.scan_chunk or 4096,
+            )
+            self._exact_state = dataclasses.replace(self.state, cfg=cfg)
+        from ..ops.detect_core import detect_frame, detect_frame_dual
+
+        if self.bank.dual_modality:
+            return detect_frame_dual(
+                self._exact_state,
+                jnp.asarray(color_c.astype(np.uint8)),
+                jnp.asarray(depth_c),
+            )
+        return detect_frame(
+            self._exact_state, jnp.asarray(color_c.astype(np.uint8))
         )
 
     # ------------------------------------------------------------------
@@ -395,6 +428,14 @@ class PoseDetection:
         critical path per frame)."""
         packed, color_c, depth_c = handle
         packed = np.asarray(packed)
+        top_k = self.state.cfg.top_k
+        if packed.shape[0] == top_k + 1:
+            # prefiltered cut: last row carries the exactness proof; a rare
+            # saturated frame (template maxes tied at the selection boundary)
+            # re-runs synchronously on the exact streaming cut
+            if packed[-1, 0] < 0.5:
+                packed = np.asarray(self._exact_rerun(color_c, depth_c))
+            packed = packed[:top_k]
         valid = packed[:, 4] > 0.5
         tid = packed[valid, 0].astype(np.int64)
         xs = packed[valid, 1]

@@ -239,6 +239,125 @@ class TestStreamingCut:
             )
 
 
+class TestPrefilterCut:
+    """The prefiltered exact cut (per-template max phase + top-template
+    rescan, MatchConfig.prefilter_sel) must reproduce the dense cut exactly
+    whenever its on-device exactness proof holds, and must report saturation
+    honestly so the host retry can step in."""
+
+    def test_prefilter_cut_equals_dense(self, rng):
+        import dataclasses
+
+        from linemod_tpu.models.template_bank import make_synthetic_bank
+        from linemod_tpu.ops.matching import (
+            MatchConfig,
+            build_match_state,
+            match_templates,
+        )
+
+        bank = make_synthetic_bank(64, seed=9, bbox_wh=48)
+        cfg = MatchConfig(width=320, height=240, top_k=32, template_chunk=8)
+        state = build_match_state(bank, cfg)
+        state_p = build_match_state(
+            bank, dataclasses.replace(cfg, prefilter_sel=40, scan_chunk=16)
+        )
+        color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
+        depth = jnp.zeros((240, 320), jnp.float32)
+        ref = match_templates(state, color, depth)
+        got = match_templates(state_p, color, depth)
+        assert bool(got["cut_exact"])
+        for k in ("template_id", "x", "y", "similarity", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+            )
+
+    def test_prefilter_reports_saturation_on_tied_maxes(self, rng):
+        """A bank of identical templates ties every per-template max at the
+        selection boundary: the proof cannot hold and cut_exact must be
+        False (threshold 0 so the boundary sits above it)."""
+        import dataclasses
+
+        from linemod_tpu.models.template_bank import make_synthetic_bank
+        from linemod_tpu.ops.matching import (
+            MatchConfig,
+            build_match_state,
+            match_templates,
+        )
+
+        bank = make_synthetic_bank(64, seed=9, bbox_wh=48)
+        for f in ("feat0", "valid0", "feat1", "valid1"):
+            arr = getattr(bank, f)
+            arr[:] = arr[:1]
+        cfg = MatchConfig(
+            width=320, height=240, top_k=16, template_chunk=8,
+            prefilter_sel=20, threshold=0.0,
+        )
+        state = build_match_state(bank, cfg)
+        color = jnp.asarray(rng.uniform(0, 255, (240, 320, 3)).astype(np.float32))
+        depth = jnp.zeros((240, 320), jnp.float32)
+        out = match_templates(state, color, depth)
+        assert not bool(out["cut_exact"])
+
+    def test_pose_detection_retries_saturated_frames(self, rng):
+        """End-to-end host retry: a PoseDetection whose state is forced onto
+        the prefiltered cut must transparently re-run saturated frames on
+        the exact streaming cut and return its poses."""
+        import dataclasses
+
+        from linemod_tpu.config import (
+            CameraParameters,
+            ModelProperties,
+            TemplateSettings,
+        )
+        from linemod_tpu.models.template_bank import make_synthetic_bank
+        from linemod_tpu.ops.matching import build_match_state
+        from linemod_tpu.pipeline.pose_detection import (
+            PoseDetection,
+            _pad_bank,
+        )
+
+        cam = CameraParameters(fx=500.0, fy=500.0, cx=160.0, cy=120.0,
+                               width=320, height=240)
+        settings = TemplateSettings(
+            detector_threshold=0.0, use_depth_improvement=False
+        )
+        props = ModelProperties(
+            lower_color_range=(0, 0, 0), upper_color_range=(255, 255, 255),
+            rotationally_symmetrical=False,
+            planes_of_symmetry=(0.0, 0.0, 0.0),
+        )
+        bank = make_synthetic_bank(64, seed=9, bbox_wh=48, image_wh=(320, 240))
+        for f in ("feat0", "valid0", "feat1", "valid1"):
+            arr = getattr(bank, f)
+            arr[:] = arr[:1]
+        bank.median_depth[:] = 0.0  # keep the depth gate neutral
+        bank.z[:] = 600.0
+
+        det = PoseDetection(bank, cam, settings, props)
+        cfg_p = dataclasses.replace(
+            det.state.cfg, prefilter_sel=20, top_k=16, threshold=0.0,
+            scan_chunk=16,
+        )
+        det.state = build_match_state(
+            _pad_bank(bank, cfg_p.template_chunk), cfg_p
+        )
+        det_exact = PoseDetection(bank, cam, settings, props)
+        det_exact.state = build_match_state(
+            _pad_bank(bank, cfg_p.template_chunk),
+            dataclasses.replace(cfg_p, prefilter_sel=0),
+        )
+
+        color = rng.uniform(0, 255, (240, 320, 3)).astype(np.uint8)
+        depth = np.full((240, 320), 600, np.uint16)
+        got = det.detect(color, depth, 2)
+        assert det._exact_state is not None  # the retry actually ran
+        ref = det_exact.detect(color, depth, 2)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a.translation, b.translation)
+            np.testing.assert_allclose(a.quaternion, b.quaternion)
+
+
 class TestCandidateCut:
     """The production blocked cut must be indistinguishable from one flat
     lax.top_k wherever it matters: the above-threshold match set (VERDICT r3

@@ -49,6 +49,44 @@ def test_pallas_matches_gather_path(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pallas_coarse_max_matches_dense_masked_max(rng):
+    """coarse_max_pallas must equal the per-template masked max of the dense
+    tile path (fit bounds applied, wrap garbage excluded)."""
+    from linemod_tpu.ops.similarity_pallas import coarse_max_pallas
+
+    n = 32
+    bank = make_synthetic_bank(n, seed=5, bbox_wh=48)
+    cfg = MatchConfig(width=640, height=480, template_chunk=n)
+    state = build_match_state(bank, cfg)
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.zeros((480, 640), jnp.float32)
+    planes = _planes_3d(
+        jnp.asarray(np.asarray(color)[::2, ::2]),
+        depth[::2, ::2],
+        cfg.t_coarse,
+        state.max_cells_coarse,
+        False,
+    )
+    ch, cw = state.coarse_shape[0], state.coarse_shape[1]
+    tiles = np.asarray(
+        coarse_scores_pallas(
+            planes, state.off3_coarse, state.max_cells_coarse, interpret=True
+        )
+    )[:, :ch, :cw]
+    lim = np.asarray(state.lim_coarse)
+    fits = (np.arange(ch)[None, :, None] < lim[:, 0, None, None]) & (
+        np.arange(cw)[None, None, :] < lim[:, 1, None, None]
+    )
+    ref = np.where(fits, tiles, -1).reshape(n, -1).max(axis=1)
+    got = np.asarray(
+        coarse_max_pallas(
+            planes, state.off3_coarse, state.lim_coarse,
+            state.max_cells_coarse, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_invalid_features_contribute_zero(rng):
     bank = make_synthetic_bank(4, seed=1, bbox_wh=32)
     bank.valid1[:, 10:] = False  # only 10 valid features
