@@ -117,7 +117,7 @@ def run_pipeline(report_accuracy: bool):
     import dataclasses
 
     if not report_accuracy:
-        return 1.0 / dt, vsd, add, len(poses), disk_fps, None, None, None
+        return 1.0 / dt, vsd, add, len(poses), disk_fps, None, None, None, None
 
     # device-bound rate: the full fused match program timed by in-device
     # repetition (lax.scan of 100 iterations, one scalar fetch) — the
@@ -167,6 +167,23 @@ def run_pipeline(report_accuracy: bool):
     except Exception:
         pass
 
+    # host half of the frame (grouping + lazy color/depth checks + pose
+    # math), timed from a PREFETCHED packed array so no transport wait or
+    # device time is included — the number that would bound the frame rate
+    # on a PCIe-class transport where fetches are ~10 us, not ~50 ms
+    host_post_ms = None
+    try:
+        handle = det.detect_submit(color, depth)
+        h2 = (np.asarray(handle[0]), handle[1], handle[2])
+        det.detect_collect(h2, 1)  # warm the per-template hull-mask cache
+        reps_h = 50
+        t0 = time.time()
+        for _ in range(reps_h):
+            det.detect_collect(h2, 1)
+        host_post_ms = (time.time() - t0) / reps_h * 1e3
+    except Exception:
+        pass
+
     def stream_fps(d, n_frames=30):
         d.detect(color, depth, 1)  # warm/compile
         t0 = time.time()
@@ -208,7 +225,8 @@ def run_pipeline(report_accuracy: bool):
         dual_fps = stream_fps(det_dual)
     except Exception:
         pass
-    return 1.0 / dt, vsd, add, len(poses), disk_fps, icp_fps, dual_fps, device_fps
+    return (1.0 / dt, vsd, add, len(poses), disk_fps, icp_fps, dual_fps,
+            device_fps, host_post_ms)
 
 
 def measure_cpu_baseline() -> float:
@@ -240,7 +258,7 @@ def main():
         return
 
     (fps, vsd, add, n_poses, disk_fps, icp_fps, dual_fps,
-     device_fps) = run_pipeline(report_accuracy=True)
+     device_fps, host_post_ms) = run_pipeline(report_accuracy=True)
     try:
         cpu_fps = measure_cpu_baseline()
     except Exception:
@@ -268,6 +286,12 @@ def main():
     if device_fps is not None:
         # transport-independent engine capability (in-device repetition)
         result["device_fps"] = round(device_fps, 3)
+    if host_post_ms is not None:
+        # host half of the frame (grouping + checks + pose math) from a
+        # prefetched result: on a PCIe-class transport the frame rate is
+        # bounded by max(device, host_post, upload), so publishing this
+        # keeps the device_fps claim honest end-to-end
+        result["host_post_ms"] = round(host_post_ms, 3)
     if icp_fps is not None:
         result["icp_fps"] = round(icp_fps, 3)
     if dual_fps is not None:

@@ -127,7 +127,20 @@ def cmd_detect(args):
         t0 = time.time()
         dbg = DetectionDebug() if (args.display or args.show) else None
         with stage("detect"):
-            poses = det.detect(color, depth, args.num_objects, debug=dbg)
+            if timer:
+                # profiled sub-stages: device submit, the transport fetch,
+                # and the host half (grouping + checks + pose math) — the
+                # latter is what bounds the frame on a PCIe-class link
+                with stage("detect.submit"):
+                    handle = det.detect_submit(color, depth)
+                with stage("detect.fetch"):
+                    handle = (np.asarray(handle[0]), handle[1], handle[2])
+                with stage("detect.host_post"):
+                    poses = det.detect_collect(
+                        handle, args.num_objects, debug=dbg
+                    )
+            else:
+                poses = det.detect(color, depth, args.num_objects, debug=dbg)
         times.append(time.time() - t0)
         msg = f"frame {i}: {len(poses)} pose(s) in {times[-1]*1000:.1f} ms"
         if poses and bench is not None:

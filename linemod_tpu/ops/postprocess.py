@@ -38,18 +38,30 @@ def group_matches(xs, ys, radius: float):
     """Greedy founder-based grouping; returns list of index lists.
 
     Matches must already be similarity-sorted (they are, coming from
-    match_templates)."""
-    groups = []  # (founder_x, founder_y, [indices])
-    for i in range(len(xs)):
-        placed = False
-        for g in groups:
-            if np.hypot(xs[i] - g[0], ys[i] - g[1]) < radius:
-                g[2].append(i)
-                placed = True
-                break
-        if not placed:
-            groups.append((xs[i], ys[i], [i]))
-    return [g[2] for g in groups]
+    match_templates). Each match joins the FIRST group (creation order)
+    whose founder lies within `radius` — identical semantics to the
+    reference's nested loop (groupSimilarMatches,
+    src/HighLevelLinemod.cpp:206-229), but the founder-distance row is one
+    vectorized numpy op instead of a Python inner loop (the grouping is on
+    the per-frame host path; at 512 matches the pure-Python version costs
+    milliseconds on a 2-core host)."""
+    n = len(xs)
+    founders = np.empty((n, 2), np.float64)
+    n_groups = 0
+    groups: list[list[int]] = []
+    r2 = radius * radius
+    for i in range(n):
+        if n_groups:
+            dx = founders[:n_groups, 0] - xs[i]
+            dy = founders[:n_groups, 1] - ys[i]
+            hits = np.flatnonzero(dx * dx + dy * dy < r2)
+            if hits.size:
+                groups[hits[0]].append(i)
+                continue
+        founders[n_groups] = (xs[i], ys[i])
+        n_groups += 1
+        groups.append([i])
+    return groups
 
 
 def discard_small_groups(groups, ratio: float):

@@ -47,6 +47,7 @@ from ..ops.extract import downsample2
 from ..ops.gradients import quantize_color_gradients
 from ..ops.matching import (
     MatchState,
+    _template_maxes,
     candidate_cut,
     coarse_similarity,
     finalize_matches,
@@ -74,7 +75,14 @@ def place_global(x, mesh: Mesh, spec: P):
 def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
     """Place the coarse per-template arrays on the tp axis; fine-level
     tables replicate (they are small and let any device refine any
-    candidate). Multi-host safe (see place_global)."""
+    candidate). Multi-host safe (see place_global).
+
+    With the prefiltered cut configured (cfg.prefilter_sel) the coarse
+    tables replicate as well: phase 2 reshards by SELECTED-template slices,
+    so any device must be able to gather any template's coarse rows
+    locally. The tables are the bank's compact feature form (~100 MB at the
+    96k-template regime) — replicating them trades a little HBM for a cut
+    whose per-device cost actually shrinks with tp."""
 
     def tp(x):
         return place_global(x, mesh, P("tp"))
@@ -82,15 +90,16 @@ def shard_state(state: MatchState, mesh: Mesh) -> MatchState:
     def rep(x):
         return place_global(x, mesh, P())
 
+    coarse = rep if state.cfg.prefilter_sel else tp
     return MatchState(
         cfg=state.cfg,
         n_templates=state.n_templates,
         off_fine=rep(state.off_fine),
-        off_coarse=tp(state.off_coarse),
+        off_coarse=coarse(state.off_coarse),
         nf_fine=rep(state.nf_fine),
-        nf_coarse=tp(state.nf_coarse),
-        lim_coarse=tp(state.lim_coarse),
-        off3_coarse=tp(state.off3_coarse),
+        nf_coarse=coarse(state.nf_coarse),
+        lim_coarse=coarse(state.lim_coarse),
+        off3_coarse=coarse(state.off3_coarse),
         off3_fine=rep(state.off3_fine),
         fine_shape=state.fine_shape,
         coarse_shape=state.coarse_shape,
@@ -132,8 +141,10 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
     exact_only=True matcher (see sharded_detect) — outputs for frames
     flagged True are bit-identical to the single-device path."""
     tp = mesh.shape["tp"]
-    n_shard = state.off_coarse.shape[0] // tp
+    n_total = state.off_coarse.shape[0]
+    n_shard = n_total // tp
     cfg = state.cfg
+    prefilter = bool(cfg.prefilter_sel)
     if cfg.top_k % tp:
         raise ValueError(f"top_k {cfg.top_k} must be a multiple of tp {tp}")
     k_slice = cfg.top_k // tp
@@ -141,23 +152,38 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
     def local_match(
         off_f, off_c, nf_f, nf_c, lim, off3, off3f, color, depth
     ):
-        # shard-local coarse state + replicated fine tables
-        local = MatchState(
-            cfg=cfg,
-            n_templates=n_shard,
-            off_fine=off_f,
-            off_coarse=off_c,
-            nf_fine=nf_f,
-            nf_coarse=nf_c,
-            lim_coarse=lim,
-            off3_coarse=off3,
-            off3_fine=off3f,
-            fine_shape=state.fine_shape,
-            coarse_shape=state.coarse_shape,
-            max_cells_fine=state.max_cells_fine,
-            max_cells_coarse=state.max_cells_coarse,
-        )
         shard_idx = jax.lax.axis_index("tp")
+        if prefilter:
+            # coarse tables arrive REPLICATED (shard_state): phase 1 scans
+            # this shard's contiguous template range
+            t0 = shard_idx * n_shard
+
+            def slc(a):
+                return jax.lax.dynamic_slice_in_dim(a, t0, n_shard)
+
+            loc = (slc(off_c), slc(nf_c), slc(lim), slc(off3))
+        else:
+            loc = (off_c, nf_c, lim, off3)
+
+        def sub_state(oc, nc, lm, o3):
+            return MatchState(
+                cfg=cfg,
+                n_templates=oc.shape[0],
+                off_fine=off_f,
+                off_coarse=oc,
+                nf_fine=nf_f,
+                nf_coarse=nc,
+                lim_coarse=lm,
+                off3_coarse=o3,
+                off3_fine=off3f,
+                fine_shape=state.fine_shape,
+                coarse_shape=state.coarse_shape,
+                max_cells_fine=state.max_cells_fine,
+                max_cells_coarse=state.max_cells_coarse,
+            )
+
+        # shard-local coarse state + replicated fine tables
+        local = sub_state(*loc)
 
         def one_frame(c, d):
             # 1. band-sharded planes precompute (quantize included) +
@@ -198,9 +224,9 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
             # full-K local cut and `cut_exact` is constant True.
             cw = state.coarse_shape[1]
             n_cells = state.coarse_shape[0] * cw
-            sim_c = coarse_similarity(local, coarse_planes)
 
             def cut_merge(k_local):
+                sim_c = coarse_similarity(local, coarse_planes)
                 top_sim, cand_t, cand_gy, cand_gx = candidate_cut(
                     cfg, sim_c, cw, k_local
                 )
@@ -222,7 +248,61 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
             # top_k better. The two-round protocol pays off from tp=8
             # (0.72 vs 0.79 ms per device).
             m_small = min(cfg.top_k, max(2 * k_slice, 256))
-            if m_small < cfg.top_k and tp >= 8 and not exact_only:
+            if prefilter and not exact_only:
+                # DISTRIBUTED PREFILTERED CUT (mirrors ops/matching.py
+                # candidate_cut_prefilter): phase 1 — each shard reduces its
+                # template range to per-template maxes (the perfectly-
+                # parallel bulk of the cut; its output is N floats, so the
+                # all_gather is microseconds); a replicated tiny selection
+                # picks the top n_sel templates; phase 2 — the SELECTED set
+                # reshards into static n_sel/tp slices (any shard can gather
+                # any template's rows from the replicated coarse tables),
+                # each shard rescans + cuts its slice, and the K-candidate
+                # merge reassembles the exact global cut. Unlike the local
+                # full-K cut, per-shard cut cost shrinks with tp (the slice
+                # is n_sel/tp rows), which is what clears the tp=4
+                # efficiency cell at small bank shapes. Exactness proof ==
+                # the single-device prefilter's (theta/v*/threshold),
+                # reported via cut_exact with the same host retry.
+                m_local = _template_maxes(local, coarse_planes)
+                g_max = jax.lax.all_gather(m_local, "tp", tiled=True)
+                n_sel = (
+                    min(max(cfg.prefilter_sel, cfg.top_k), n_total) // tp
+                ) * tp
+                sel_sim, sel_idx = rank_by_sim_then_index(
+                    g_max, jnp.arange(n_total, dtype=jnp.int32), n_sel
+                )
+                theta = sel_sim[n_sel - 1]
+                saturated = (
+                    jnp.sum((g_max >= theta).astype(jnp.int32)) > n_sel
+                )
+                sel_sorted = jnp.sort(sel_idx)
+                s_slice = n_sel // tp
+                my_sel = jax.lax.dynamic_slice_in_dim(
+                    sel_sorted, shard_idx * s_slice, s_slice
+                )
+                sub = sub_state(
+                    off_c[my_sel], nf_c[my_sel], lim[my_sel], off3[my_sel]
+                )
+                sim_sel = coarse_similarity(sub, coarse_planes)
+                l_sim, lt, lgy, lgx = candidate_cut(
+                    cfg, sim_sel, cw, cfg.top_k
+                )
+                g_t = my_sel[lt]
+                g_sim = jax.lax.all_gather(l_sim, "tp", tiled=True)
+                g_flat = jax.lax.all_gather(
+                    g_t * n_cells + lgy * cw + lgx, "tp", tiled=True
+                )
+                m_sim, m_flat = rank_by_sim_then_index(
+                    g_sim, g_flat, cfg.top_k
+                )
+                v_star = m_sim[cfg.top_k - 1]
+                cut_exact = (
+                    (~saturated)
+                    | (v_star > theta)
+                    | (v_star < jnp.float32(cfg.threshold))
+                )
+            elif m_small < cfg.top_k and tp >= 8 and not exact_only:
                 l_sim, m_sim, m_flat = cut_merge(m_small)
                 tau = m_sim[cfg.top_k - 1]
                 lasts = jax.lax.all_gather(
@@ -259,14 +339,15 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
         # devices; the local batch is almost always 1).
         return jax.lax.map(lambda cd: one_frame(cd[0], cd[1]), (color, depth))
 
+    cspec = P() if prefilter else P("tp")  # see shard_state
     args_specs = (
-        P(),      # off_fine (replicated)
-        P("tp"),  # off_coarse
-        P(),      # nf_fine
-        P("tp"),  # nf_coarse
-        P("tp"),  # lim_coarse
-        P("tp"),  # off3_coarse
-        P(),      # off3_fine
+        P(),     # off_fine (replicated)
+        cspec,   # off_coarse
+        P(),     # nf_fine
+        cspec,   # nf_coarse
+        cspec,   # lim_coarse
+        cspec,   # off3_coarse
+        P(),     # off3_fine
         P("dp"),  # color
         P("dp"),  # depth
     )

@@ -159,6 +159,79 @@ def test_two_round_cut_fast_path_equals_single(cube_bank_scene):
         np.testing.assert_array_equal(single[k], shard[k], err_msg=k)
 
 
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_sharded_prefilter_cut_equals_single(rng, tp):
+    """The distributed prefiltered cut (per-shard maxes -> replicated
+    selection -> selected-slice rescan -> exact merge) must be bit-identical
+    to the single-device dense path at every tp whenever its exactness
+    proof holds."""
+    import dataclasses
+
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+
+    bank = make_synthetic_bank(64, seed=11, bbox_wh=48)
+    cfg = MatchConfig(top_k=32, template_chunk=8, threshold=80.0)
+    state = build_match_state(bank, cfg)
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.zeros((480, 640), jnp.float32)
+    single = {
+        k: np.asarray(v) for k, v in match_templates(state, color, depth).items()
+    }
+
+    cfg_p = dataclasses.replace(cfg, prefilter_sel=40, scan_chunk=16)
+    state_p = build_match_state(bank, cfg_p)
+    mesh = make_mesh(tp, dp=1)
+    sstate = shard_state(state_p, mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    out = matcher(color[None], depth[None])
+    assert bool(np.asarray(out["cut_exact"]).all())
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(
+            single[k], np.asarray(out[k])[0], err_msg=k
+        )
+
+
+def test_sharded_prefilter_saturated_retry(rng):
+    """Tied template maxes defeat the prefilter's selection proof; the
+    exact_only retry matcher must then reproduce the single-device result
+    (sharded_detect host-retry shape)."""
+    import dataclasses
+
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+    from linemod_tpu.parallel.sharded_match import sharded_detect
+
+    bank = make_synthetic_bank(64, seed=11, bbox_wh=48)
+    for f in ("feat0", "valid0", "feat1", "valid1"):
+        arr = getattr(bank, f)
+        arr[:] = arr[:1]
+    cfg = MatchConfig(
+        top_k=16, template_chunk=8, threshold=0.0, prefilter_sel=20,
+        scan_chunk=16,
+    )
+    state = build_match_state(bank, cfg)
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.zeros((480, 640), jnp.float32)
+    single = {
+        k: np.asarray(v)
+        for k, v in match_templates(
+            build_match_state(
+                bank, dataclasses.replace(cfg, prefilter_sel=0, scan_chunk=0)
+            ),
+            color, depth,
+        ).items()
+    }
+    mesh = make_mesh(4, dp=1)
+    sstate = shard_state(state, mesh)
+    fast = make_sharded_matcher(sstate, mesh)
+    exact = make_sharded_matcher(sstate, mesh, exact_only=True)
+    assert not bool(np.asarray(fast(color[None], depth[None])["cut_exact"]).all())
+    out = sharded_detect(fast, exact, color[None], depth[None])
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(
+            single[k], np.asarray(out[k])[0], err_msg=k
+        )
+
+
 def test_two_round_cut_saturated_fallback(cube_bank_scene):
     """A bank whose matches all live in ONE shard saturates that shard's
     round-1 top-m, so the exactness proof fails and the lax.cond fallback
