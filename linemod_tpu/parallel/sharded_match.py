@@ -49,6 +49,7 @@ from ..ops.matching import (
     MatchState,
     _template_maxes,
     candidate_cut,
+    candidate_cut_streaming,
     coarse_similarity,
     finalize_matches,
     fine_refine,
@@ -226,10 +227,19 @@ def make_sharded_matcher(state: MatchState, mesh: Mesh, exact_only: bool = False
             n_cells = state.coarse_shape[0] * cw
 
             def cut_merge(k_local):
-                sim_c = coarse_similarity(local, coarse_planes)
-                top_sim, cand_t, cand_gy, cand_gx = candidate_cut(
-                    cfg, sim_c, cw, k_local
-                )
+                if cfg.scan_chunk and n_shard > cfg.scan_chunk:
+                    # big-bank shard: the exact cut streams template chunks
+                    # so the dense [n_shard, G] never materializes
+                    # (ops/matching.candidate_cut_streaming) — the sharded x
+                    # streaming composition
+                    top_sim, cand_t, cand_gy, cand_gx = (
+                        candidate_cut_streaming(local, coarse_planes, k_local)
+                    )
+                else:
+                    sim_c = coarse_similarity(local, coarse_planes)
+                    top_sim, cand_t, cand_gy, cand_gx = candidate_cut(
+                        cfg, sim_c, cw, k_local
+                    )
                 ct = cand_t + shard_idx * n_shard  # globalize
                 g_sim = jax.lax.all_gather(top_sim, "tp", tiled=True)
                 g_flat = jax.lax.all_gather(

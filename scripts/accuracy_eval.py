@@ -1,0 +1,152 @@
+"""Multi-frame accuracy artifact (VERDICT r4 item 3): run the reference's
+running-score evaluation protocol (src/Benchmark.cpp:11-16,247-251) over a
+>=100-frame synthetic sequence with exact GT (pipeline/synth_eval.py) and
+write ACCURACY_r05.json: detection rate, VSD / ADD-S pass rates at the
+reference criteria (VSD < 0.3, src/Benchmark.cpp:33; ADD <= 21,
+include/Benchmark.h:105), translation/rotation error stats, and a failure
+taxonomy, broken down per corruption mode.
+
+Usage: python scripts/accuracy_eval.py [--frames-per-mode 30] [--out ...]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from linemod_tpu.config import load_model_properties, load_settings
+from linemod_tpu.models.template_bank import TemplateBank
+from linemod_tpu.ops.metrics import OBJECT_DIAMETER, VSD_CORRECT
+from linemod_tpu.pipeline.benchmark import Benchmark
+from linemod_tpu.pipeline.pose_detection import PoseDetection
+from linemod_tpu.pipeline.synth_eval import SyntheticEvalSet, eval_camera
+from linemod_tpu.utils.geometry import quat_to_mat
+from linemod_tpu.utils.ply import load_ply
+
+MODES = ("clean", "shiny", "holes", "clutter")
+
+
+def rotation_err_deg(q_gt, q_est):
+    r = quat_to_mat(q_gt).T @ quat_to_mat(q_est)
+    c = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    return float(np.degrees(np.arccos(c)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-per-mode", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r05.json"))
+    args = ap.parse_args()
+
+    ex = os.path.join(REPO, "example")
+    cam0, settings = load_settings(os.path.join(ex, "linemod_settings.yml"))
+    bank = TemplateBank.load(os.path.join(ex, "banks", "lagergehaeuse.npz"))
+    props = load_model_properties(os.path.join(ex, "models", "lagergehaeuse.ply"))
+    mesh = load_ply(os.path.join(ex, "models", "lagergehaeuse.ply"))
+    cam = eval_camera(cam0)
+
+    gen = SyntheticEvalSet(mesh, bank, cam0, seed=args.seed)
+    det = PoseDetection(bank, cam, settings, props)
+    bench = Benchmark(mesh, cam)
+
+    results = {
+        "criteria": {"vsd_correct": VSD_CORRECT, "add_threshold_mm": OBJECT_DIAMETER,
+                     "metric": "ADD-S (rotationally symmetric model)"},
+        "seed": args.seed,
+        "frames_per_mode": args.frames_per_mode,
+        "modes": {},
+    }
+    total = {"frames": 0, "detected": 0, "vsd_pass": 0, "adds_pass": 0,
+             "both_pass": 0}
+    for mode in MODES:
+        # the 'clean' subset models an uncorrupted depth sensor, so the
+        # sensor-compensation offset (depth offset: 30, tuned for the shiny
+        # fixture capture) is zeroed for it — with the shipped offset a
+        # clean sensor reads ~30 mm shallow by construction
+        det.settings = dataclasses.replace(
+            settings, depth_offset=0.0 if mode == "clean" else settings.depth_offset
+        )
+        stats = {"frames": 0, "detected": 0, "vsd_pass": 0, "adds_pass": 0,
+                 "both_pass": 0, "vsd": [], "adds": [], "t_err_mm": [],
+                 "rot_err_deg": [], "taxonomy": {"no_detection": 0,
+                                                 "vsd_fail": 0,
+                                                 "adds_fail": 0,
+                                                 "both_fail": 0}}
+        for i in range(args.frames_per_mode):
+            color, depth, gt, _ = gen.make_frame(i, mode)
+            poses = det.detect(color, depth, 1)
+            stats["frames"] += 1
+            if not poses:
+                stats["taxonomy"]["no_detection"] += 1
+                continue
+            est = poses[0]
+            stats["detected"] += 1
+            scene = depth.astype(np.float32)
+            vsd = bench.score_vsd(scene, gt, est)
+            adds = bench.score_adds(gt, est)
+            ok_v = vsd < VSD_CORRECT
+            ok_a = adds <= OBJECT_DIAMETER
+            stats["vsd"].append(round(float(vsd), 4))
+            stats["adds"].append(round(float(adds), 2))
+            stats["t_err_mm"].append(
+                round(float(np.linalg.norm(est.translation - gt.translation)), 2)
+            )
+            stats["rot_err_deg"].append(
+                round(rotation_err_deg(gt.quaternion, est.quaternion), 2)
+            )
+            stats["vsd_pass"] += int(ok_v)
+            stats["adds_pass"] += int(ok_a)
+            stats["both_pass"] += int(ok_v and ok_a)
+            if not ok_v and not ok_a:
+                stats["taxonomy"]["both_fail"] += 1
+            elif not ok_v:
+                stats["taxonomy"]["vsd_fail"] += 1
+            elif not ok_a:
+                stats["taxonomy"]["adds_fail"] += 1
+        for k in ("frames", "detected", "vsd_pass", "adds_pass", "both_pass"):
+            total[k] += stats[k]
+        stats["median_t_err_mm"] = (
+            float(np.median(stats["t_err_mm"])) if stats["t_err_mm"] else None
+        )
+        stats["median_rot_err_deg"] = (
+            float(np.median(stats["rot_err_deg"])) if stats["rot_err_deg"] else None
+        )
+        results["modes"][mode] = stats
+        print(
+            f"{mode}: {stats['detected']}/{stats['frames']} detected, "
+            f"VSD pass {stats['vsd_pass']}, ADD-S pass {stats['adds_pass']}, "
+            f"both {stats['both_pass']}"
+        )
+
+    results["total"] = total
+    results["total"]["detection_rate_pct"] = round(
+        100.0 * total["detected"] / max(total["frames"], 1), 1
+    )
+    results["total"]["vsd_pass_pct"] = round(
+        100.0 * total["vsd_pass"] / max(total["frames"], 1), 1
+    )
+    results["total"]["adds_pass_pct"] = round(
+        100.0 * total["adds_pass"] / max(total["frames"], 1), 1
+    )
+    results["total"]["both_pass_pct"] = round(
+        100.0 * total["both_pass"] / max(total["frames"], 1), 1
+    )
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}: {results['total']}")
+
+
+if __name__ == "__main__":
+    main()

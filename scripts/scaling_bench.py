@@ -383,22 +383,26 @@ def main():
         eff_pf = t1 / (tp * t_tp_pf)
         results["strong_scaling"].append({
             "tp": tp,
-            # primary = the distributed prefiltered cut (the round-5
-            # production sharded cut; parallel/sharded_match.py)
-            "per_device_compute_ms": t_dev_pf * 1e3,
+            # primary = the local-full-K / two-round cut — measured FASTER
+            # than the prefiltered cut at this small shape (the cut is
+            # k-bound, so shrinking phase-2 rows buys nothing while the
+            # prefilter's extra max pass + selection cost is real; see
+            # tp4_exactness_ceiling). Big-bank shapes use the prefilter
+            # (BANK_SCALE.json).
+            "per_device_compute_ms": t_dev * 1e3,
             "fine_bands_overlap_window_ms": t_fine_bands * 1e3,
-            "modeled_comm_ms": comm_pf * 1e3,
-            "ms_per_frame": t_tp_pf * 1e3,
-            "efficiency_pct": 100.0 * eff_pf,
-            # the round-4 local-full-K / two-round cut, for comparison
-            "localcut_per_device_compute_ms": t_dev * 1e3,
-            "localcut_ms_per_frame": t_tp * 1e3,
-            "localcut_efficiency_pct": 100.0 * eff,
+            "modeled_comm_ms": comm * 1e3,
+            "ms_per_frame": t_tp * 1e3,
+            "efficiency_pct": 100.0 * eff,
+            # the distributed prefiltered cut at this shape, for comparison
+            "prefilter_per_device_compute_ms": t_dev_pf * 1e3,
+            "prefilter_ms_per_frame": t_tp_pf * 1e3,
+            "prefilter_efficiency_pct": 100.0 * eff_pf,
         })
         print(
-            f"tp={tp}: prefilter {t_dev_pf*1e3:6.3f}+{comm_pf*1e3:5.3f} ms "
-            f"=> {t_tp_pf*1e3:6.3f} ms/frame, eff {100*eff_pf:5.1f}% | "
-            f"localcut {t_dev*1e3:6.3f}+{comm*1e3:5.3f} => eff {100*eff:5.1f}%"
+            f"tp={tp}: localcut {t_dev*1e3:6.3f}+{comm*1e3:5.3f} ms "
+            f"=> {t_tp*1e3:6.3f} ms/frame, eff {100*eff:5.1f}% | "
+            f"prefilter {t_dev_pf*1e3:6.3f}+{comm_pf*1e3:5.3f} => eff {100*eff_pf:5.1f}%"
         )
 
     # dp scaling: frames are independent, no collectives; per-device work is

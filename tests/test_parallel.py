@@ -191,6 +191,35 @@ def test_sharded_prefilter_cut_equals_single(rng, tp):
         )
 
 
+def test_sharded_streaming_cut_equals_single(rng):
+    """Sharded x streaming composition: when a shard's template count
+    exceeds scan_chunk, the exact per-shard cut streams chunks
+    (candidate_cut_streaming inside the shard_map body) and must stay
+    bit-identical to the single-device dense path."""
+    import dataclasses
+
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+
+    bank = make_synthetic_bank(64, seed=11, bbox_wh=48)
+    cfg = MatchConfig(top_k=32, template_chunk=8, threshold=80.0)
+    state = build_match_state(bank, cfg)
+    color = jnp.asarray(rng.uniform(0, 255, (480, 640, 3)).astype(np.float32))
+    depth = jnp.zeros((480, 640), jnp.float32)
+    single = {
+        k: np.asarray(v) for k, v in match_templates(state, color, depth).items()
+    }
+    # tp=4 -> 16-template shards; scan_chunk=8 -> 2 streamed chunks per shard
+    cfg_s = dataclasses.replace(cfg, scan_chunk=8)
+    mesh = make_mesh(4, dp=1)
+    sstate = shard_state(build_match_state(bank, cfg_s), mesh)
+    matcher = make_sharded_matcher(sstate, mesh)
+    out = matcher(color[None], depth[None])
+    for k in ("template_id", "x", "y", "similarity", "valid"):
+        np.testing.assert_array_equal(
+            single[k], np.asarray(out[k])[0], err_msg=k
+        )
+
+
 def test_sharded_prefilter_saturated_retry(rng):
     """Tied template maxes defeat the prefilter's selection proof; the
     exact_only retry matcher must then reproduce the single-device result
