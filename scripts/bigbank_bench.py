@@ -87,10 +87,11 @@ def state_hbm_bytes(state) -> int:
     return total
 
 
-def run_subdiv(subdiv: int, bank_cache: str):
+def run_subdiv(subdiv: int, bank_cache: str, dual: bool = False):
     cam, base = load_settings(os.path.join(REPO, "example", "linemod_settings.yml"))
     settings = TemplateSettings(
-        **{**base.__dict__, "subdivisions": subdiv}
+        **{**base.__dict__, "subdivisions": subdiv,
+           "only_color_modality": not dual}
     )
     # NON-symmetric: full icosphere, no pruning (the reference's configured
     # regime for an asymmetric part)
@@ -120,7 +121,9 @@ def run_subdiv(subdiv: int, bank_cache: str):
     cfg = MatchConfig(
         width=cam.width, height=cam.height, top_k=TOP_K,
         template_chunk=256, use_pallas=use_pallas, cut_block_rows=256,
-        scan_chunk=SCAN_CHUNK,
+        scan_chunk=SCAN_CHUNK, prefilter_sel=PREFILTER_SEL,
+        dual_modality=bank.dual_modality,
+        t_fine=5 if bank.dual_modality else 2,
     )
     padded = _pad_bank(bank, SCAN_CHUNK)
     state = build_match_state(padded, cfg)
@@ -139,72 +142,117 @@ def run_subdiv(subdiv: int, bank_cache: str):
     ) - ovh
     print(f"single-chip match: {t1 * 1e3:.2f} ms/frame ({1.0 / t1:.1f} fps device-side)")
 
-    # --- modeled tp scaling at this shape ---
+    # --- modeled tp scaling at this shape: the DISTRIBUTED PREFILTERED cut
+    # (parallel/sharded_match.py prefilter branch) — phase-1 per-template
+    # maxes over this shard's N/tp templates, replicated selection over the
+    # gathered [N] maxes, phase-2 rescan + exact cut of the n_sel/tp
+    # selected slice, exact K-merge ---
     pf_sh, pc_sh = state.fine_shape, state.coarse_shape
     rows_f, stride_f = pf_sh[2], pf_sh[3]
     rows_c, stride_c = pc_sh[2], pc_sh[3]
-    planes_bytes = (8 * cfg.t_fine ** 2) * rows_f * stride_f + (
-        8 * cfg.t_coarse ** 2
-    ) * rows_c * stride_c
+    n_mods = 2 if cfg.dual_modality else 1
+    planes_bytes = n_mods * (
+        (8 * cfg.t_fine ** 2) * rows_f * stride_f
+        + (8 * cfg.t_coarse ** 2) * rows_c * stride_c
+    )
     cw = pc_sh[1]
+    n_total = state.off_coarse.shape[0]
     scaling = []
     for tp in (4, 8):
         import dataclasses as dc
 
-        n_shard = state.off_coarse.shape[0] // tp
-        pb = _pad_bank(bank, state.off_coarse.shape[0] // tp)
-        sb = dc.replace(
-            pb,
-            **{
-                f: getattr(pb, f)[:n_shard]
-                for f in ("feat0", "valid0", "feat1", "valid1", "bbox", "quat",
-                          "z", "median_depth", "hull")
-            },
+        from linemod_tpu.ops.matching import (
+            _template_maxes,
+            rank_by_sim_then_index,
         )
-        scfg = MatchConfig(
-            width=cam.width, height=cam.height, top_k=TOP_K, template_chunk=256,
-            use_pallas=use_pallas, cut_block_rows=256,
-            scan_chunk=min(SCAN_CHUNK, n_shard),
-        )
-        sstate = build_match_state(sb, scfg)
-        k_slice = TOP_K // tp
+        from linemod_tpu.ops.normals import quantize_normals
 
-        def per_device(i, c, d, _st=sstate, _tp=tp, _k=k_slice, _scfg=scfg):
+        n_shard = n_total // tp
+        k_slice = TOP_K // tp
+        s_slice = min(PREFILTER_SEL, n_total) // tp
+
+        def per_device(i, c, d, _tp=tp, _k=k_slice, _s=s_slice,
+                       _full=state, _cfg=cfg, _n_shard=n_shard):
             c = c + i.astype(jnp.float32)
-            q0 = quantize_color_gradients(c)[0]
-            q1 = quantize_color_gradients(downsample2(c))[0]
-            fb = linearized_response_planes_band(
-                q0, _scfg.t_fine, _st.max_cells_fine, 0, _tp
-            ).reshape(-1, rows_f // _tp, stride_f)
-            cb = linearized_response_planes_band(
-                q1, _scfg.t_coarse, _st.max_cells_coarse, 0, _tp
-            ).reshape(-1, rows_c // _tp, stride_c)
+            mods0 = [(c, quantize_color_gradients)]
+            mods1 = [(downsample2(c), quantize_color_gradients)]
+            if _cfg.dual_modality:
+                mods0.append((d, quantize_normals))
+                mods1.append((d[::2, ::2], quantize_normals))
+            fbs = [
+                linearized_response_planes_band(
+                    fn(img)[0], _cfg.t_fine, _full.max_cells_fine, 0, _tp
+                ).reshape(-1, rows_f // _tp, stride_f)
+                for img, fn in mods0
+            ]
+            cbs = [
+                linearized_response_planes_band(
+                    fn(img)[0], _cfg.t_coarse, _full.max_cells_coarse, 0, _tp
+                ).reshape(-1, rows_c // _tp, stride_c)
+                for img, fn in mods1
+            ]
             # zero plane rides along as a zero band (mirrors _gathered_planes_band)
             fbz = jnp.concatenate(
-                [fb, jnp.zeros((1, rows_f // _tp, stride_f), jnp.uint8)], 0)
+                fbs + [jnp.zeros((1, rows_f // _tp, stride_f), jnp.uint8)], 0)
             cbz = jnp.concatenate(
-                [cb, jnp.zeros((1, rows_c // _tp, stride_c), jnp.uint8)], 0)
+                cbs + [jnp.zeros((1, rows_c // _tp, stride_c), jnp.uint8)], 0)
             fine_planes = jnp.tile(fbz, (1, _tp, 1))
             coarse_planes = jnp.tile(cbz, (1, _tp, 1))
-            top_sim, ct, cgy, cgx = candidate_cut_streaming(
-                _st, coarse_planes, TOP_K
+            n_cells = _full.coarse_shape[0] * cw
+            # phase 1: per-template maxes over my shard range
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, 0, _n_shard)
+            local = dc.replace(
+                _full, off_coarse=sl(_full.off_coarse),
+                nf_coarse=sl(_full.nf_coarse),
+                lim_coarse=sl(_full.lim_coarse),
+                off3_coarse=sl(_full.off3_coarse),
             )
-            g_sim = jnp.tile(top_sim, _tp)
-            m_sim, mi = jax.lax.top_k(g_sim, TOP_K)
-            m_t = jnp.tile(ct, _tp)[mi]
-            m_gy = jnp.tile(cgy, _tp)[mi]
-            m_gx = jnp.tile(cgx, _tp)[mi]
-            f_sim, f_x, f_y = fine_refine(_st, fine_planes, m_t[:_k], m_gy[:_k], m_gx[:_k])
+            m_local = _template_maxes(local, coarse_planes)
+            g_max = jnp.tile(m_local, _tp)  # stands in for the all_gather
+            n_sel = _s * _tp
+            sel_sim, sel_idx = rank_by_sim_then_index(
+                g_max, jnp.arange(n_total, dtype=jnp.int32), n_sel
+            )
+            theta = sel_sim[n_sel - 1]
+            saturated = jnp.sum((g_max >= theta).astype(jnp.int32)) > n_sel
+            sel_sorted = jnp.sort(sel_idx)
+            my_sel = jax.lax.dynamic_slice_in_dim(sel_sorted, 0, _s)
+            sub = dc.replace(
+                _full, off_coarse=_full.off_coarse[my_sel],
+                nf_coarse=_full.nf_coarse[my_sel],
+                lim_coarse=_full.lim_coarse[my_sel],
+                off3_coarse=_full.off3_coarse[my_sel],
+            )
+            sim_sel = coarse_similarity(sub, coarse_planes)
+            l_sim, lt, lgy, lgx = candidate_cut(_cfg, sim_sel, cw, TOP_K)
+            g_t = my_sel[lt]
+            g_sim = jnp.tile(l_sim, _tp) - jnp.repeat(
+                jnp.arange(_tp, dtype=jnp.float32) * 1e-3, TOP_K
+            )
+            g_flat = jnp.tile(g_t * n_cells + lgy * cw + lgx, _tp)
+            m_sim, m_flat = rank_by_sim_then_index(g_sim, g_flat, TOP_K)
+            v_star = m_sim[TOP_K - 1]
+            cut_exact = (
+                (~saturated) | (v_star > theta)
+                | (v_star < jnp.float32(_cfg.threshold))
+            )
+            m_t = m_flat // n_cells
+            m_gy = (m_flat % n_cells) // cw
+            m_gx = m_flat % cw
+            f_sim, f_x, f_y = fine_refine(
+                _full, fine_planes, m_t[:_k], m_gy[:_k], m_gx[:_k]
+            )
             out = finalize_matches(
-                _scfg, m_t, jnp.tile(f_sim, _tp), jnp.tile(f_x, _tp),
+                _cfg, m_t, jnp.tile(f_sim, _tp), jnp.tile(f_x, _tp),
                 jnp.tile(f_y, _tp), m_sim)
-            return out["similarity"].sum()
+            return out["similarity"].sum() + cut_exact.astype(jnp.float32)
 
         t_dev = device_time(per_device, color, depth) - ovh
         comm = (
-            3 * ICI_LAT
+            4 * ICI_LAT
             + (tp - 1) / tp * planes_bytes / ICI_BW
-            + (tp - 1) * 4 * TOP_K * 4 / ICI_BW
+            + (tp - 1) / tp * n_total * 4 / ICI_BW  # maxes all_gather
+            + (tp - 1) * 2 * TOP_K * 4 / ICI_BW
             + (tp - 1) * 3 * k_slice * 4 / ICI_BW
         )
         t_tp = t_dev + comm
@@ -218,6 +266,7 @@ def run_subdiv(subdiv: int, bank_cache: str):
 
     return {
         "subdiv": subdiv,
+        "dual_modality": dual,
         "n_templates": n,
         "generation_seconds": gen_s,
         "templates_per_second": (n / gen_s) if gen_s else None,
@@ -233,6 +282,8 @@ def run_subdiv(subdiv: int, bank_cache: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdivs", type=int, nargs="+", default=[2, 3])
+    ap.add_argument("--dual", action="store_true",
+                    help="dual-modality (ColorGradient+DepthNormal) bank")
     args = ap.parse_args()
 
     path = os.path.join(REPO, "BANK_SCALE.json")
@@ -249,15 +300,20 @@ def main():
         if isinstance(old, dict) and "configs" in old:
             results = old
     for s in args.subdivs:
-        cache = os.path.join(REPO, f".bigbank_cache_s{s}.npz")
-        r = run_subdiv(s, cache)
+        tag = "_dual" if args.dual else ""
+        cache = os.path.join(REPO, f".bigbank_cache{tag}_s{s}.npz")
+        r = run_subdiv(s, cache, dual=args.dual)
         results["configs"] = [
-            c for c in results["configs"] if c["subdiv"] != s
+            c for c in results["configs"]
+            if not (c["subdiv"] == s
+                    and bool(c.get("dual_modality")) == args.dual)
         ] + [r]
-        results["configs"].sort(key=lambda c: c["subdiv"])
+        results["configs"].sort(
+            key=lambda c: (bool(c.get("dual_modality")), c["subdiv"])
+        )
         with open(path, "w") as f:
             json.dump(results, f, indent=1)
-        print(f"wrote {path} (subdiv {s})")
+        print(f"wrote {path} (subdiv {s}{tag})")
 
 
 if __name__ == "__main__":
