@@ -188,10 +188,21 @@ def run_pipeline(report_accuracy: bool):
         pass
 
     def stream_fps(d, n_frames=30):
+        # median of 3 runs: the tunnel's throughput drifts in phases, and a
+        # single run mis-states a variant by up to +-30%. An untimed stream
+        # absorbs the cold-start penalty first (first stream after idle
+        # reads ~2x low on this tunnel).
         d.detect(color, depth, 1)  # warm/compile
-        t0 = time.time()
-        n = sum(1 for _ in d.detect_stream((color, depth) for _ in range(n_frames)))
-        return n / (time.time() - t0)
+        for _ in d.detect_stream((color, depth) for _ in range(10)):
+            pass
+        rates = []
+        for _ in range(3):
+            t0 = time.time()
+            n = sum(
+                1 for _ in d.detect_stream((color, depth) for _ in range(n_frames))
+            )
+            rates.append(n / (time.time() - t0))
+        return sorted(rates)[1]
 
     # ICP-on (use icp: 1): per-group joint ICP refine + verify-by-render
     # (src/PoseDetection.cpp:72-84); the shipped config matches the

@@ -37,6 +37,13 @@ from .spread import (
 )
 
 MAX_RESPONSE = 4
+# Fine-refine Pallas kernel requires the fine-level planes resident in VMEM
+# (~16 MB/core on v5e; headroom left for the accumulators). Dual-modality
+# 640x480 planes are ~10.7 MB and fit; larger frames (e.g. 800x600 dual,
+# ~16.7 MB) fall back to the XLA gather path — fine_refine checks this
+# bound and scripts/dual_vmem_cliff.py commits the measured cost of both
+# paths so the fallback is not a silent surprise.
+FINE_PALLAS_VMEM_LIMIT = 12 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -614,7 +621,7 @@ def fine_refine(state: MatchState, fine_planes, cand_t, cand_gy, cand_gx):
     # v5e — dual fine planes are ~10.7 MB, color-only ~4.4 MB).
     planes_vmem_ok = (
         fine_planes.shape[0] * fine_planes.shape[1] * fine_planes.shape[2]
-        <= 12 * 1024 * 1024
+        <= FINE_PALLAS_VMEM_LIMIT
     )
     if cfg.use_pallas and win <= 8 and planes_vmem_ok:
         from .similarity_pallas import fine_scores_pallas

@@ -121,13 +121,15 @@ def _make_coarse_max_kernel(rows_used: int, lanes_used: int, tpb: int):
         lands in rows/lanes >= the grid extent (see _coarse_kernel) and the
         lim mask (lim <= grid extent) excludes it.
 
-        off_ref: [tpb, F, 3] SMEM; lim_ref: [tpb, 2] SMEM int32;
+        off_ref: [tpb, F, 3] SMEM; lim_ref: [8, 2] SMEM int32;
         planes_ref: [P, rows, stride] VMEM; out_ref: [8, tpb] SMEM int32
         (-1 where no cell fits). The output block is shared by 8 consecutive
-        programs (Mosaic requires the sublane dim of a block be 8-divisible);
-        each program writes its own row program_id % 8 — consecutive
-        revisits of one block are legal and flush once at the end."""
+        programs and the lim block by 8/tpb consecutive programs (Mosaic
+        requires block sublane dims be 8-divisible or full); each program
+        addresses its own rows via program_id — consecutive revisits of one
+        block are legal and flush once at the end."""
         row = pl.program_id(0) % 8
+        lim_row = (pl.program_id(0) * tpb) % 8
         n_feat = off_ref.shape[1]
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
@@ -146,7 +148,9 @@ def _make_coarse_max_kernel(rows_used: int, lanes_used: int, tpb: int):
                 0, n_feat, body, jnp.zeros((TILE_H, TILE_W), jnp.int32),
                 unroll=n_feat,
             )
-            fits = (row_ids < lim_ref[tt, 0]) & (col_ids < lim_ref[tt, 1])
+            fits = (row_ids < lim_ref[lim_row + tt, 0]) & (
+                col_ids < lim_ref[lim_row + tt, 1]
+            )
             out_ref[row, tt] = jnp.max(jnp.where(fits, acc, -1))
 
     return _coarse_max_kernel
@@ -170,7 +174,10 @@ def coarse_max_pallas(
     lanes_used = min(stride, ((TILE_W + max_shift + 127) // 128) * 128)
     if rows_used % 8 or (lanes_used < stride and max_shift > lanes_used - TILE_W):
         raise ValueError(f"unsupported plane geometry {planes.shape}, {max_shift}")
-    tpb = next(d for d in (8, 4, 2, 1) if n % d == 0)
+    # tpb capped so the SMEM feature window (tpb x F x 3 i32, double-
+    # buffered) stays within budget: tpb=8 with the dual-modality F=128
+    # table overflowed the 1 MB SMEM space on v5e (tpb * F <= 512 fits)
+    tpb = next(d for d in (8, 4, 2, 1) if n % d == 0 and d * mf <= 512)
     # pad the template axis so the grid is a multiple of the 8 programs that
     # share one output block; pad rows point at the zero plane with lim 0,
     # so they emit -1 and are sliced away
@@ -188,7 +195,11 @@ def coarse_max_pallas(
         grid=(n_pad // tpb,),
         in_specs=[
             pl.BlockSpec((tpb, mf, 3), lambda t: (t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tpb, 2), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, 2),
+                lambda t, _tpb=tpb: (t * _tpb // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -58,6 +58,7 @@ from linemod_tpu.utils.ply import load_ply
 K_REPEAT = 50
 TOP_K = 512
 SCAN_CHUNK = 4096
+PREFILTER_SEL = 1024
 ICI_BW = 40e9
 ICI_LAT = 2e-6
 
@@ -303,6 +304,14 @@ def main():
         tag = "_dual" if args.dual else ""
         cache = os.path.join(REPO, f".bigbank_cache{tag}_s{s}.npz")
         r = run_subdiv(s, cache, dual=args.dual)
+        if r["generation_seconds"] is None:
+            # cached bank: keep the original measured generation numbers
+            for c in results["configs"]:
+                if (c["subdiv"] == s
+                        and bool(c.get("dual_modality")) == args.dual
+                        and c.get("generation_seconds")):
+                    r["generation_seconds"] = c["generation_seconds"]
+                    r["templates_per_second"] = c["templates_per_second"]
         results["configs"] = [
             c for c in results["configs"]
             if not (c["subdiv"] == s
