@@ -118,14 +118,17 @@ class SyntheticEvalSet:
         )
         return np.asarray(d), np.asarray(c)
 
-    def make_frame(self, index: int, mode: str = "shiny"):
+    def make_frame(self, index: int, mode: str = "shiny", **pose_kwargs):
         """mode: 'clean' | 'shiny' | 'holes' | 'clutter' (the last three all
-        include the shiny +40 mm object-depth corruption)."""
+        include the shiny +40 mm object-depth corruption). pose_kwargs
+        forward to sample_gt_pose (jitter ablations use them — the rng
+        stream is shared, so zeroing one jitter keeps every other draw of
+        the frame identical)."""
         rng = np.random.default_rng((self.seed, index))
         cam = self.cam
         h, w = cam.height, cam.width
 
-        gt, t_base = sample_gt_pose(rng, self.bank, cam)
+        gt, t_base = sample_gt_pose(rng, self.bank, cam, **pose_kwargs)
         d_obj, c_obj = self._render(
             self.marr, quat_to_mat(gt.quaternion), gt.translation
         )

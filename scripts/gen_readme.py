@@ -153,10 +153,13 @@ def block_accuracy():
         f"criteria (VSD < 0.3 and ADD-S <= 21 mm) — 100% precision on this set;",
         f"- median translation error {min(med_t):.1f}-{max(med_t):.1f} mm, "
         f"median rotation error {min(med_r):.1f}-{max(med_r):.1f} deg;",
-        "- every miss is a no-detection at a between-coverage corner of the "
-        "shipped bank (far-z poses between viewpoint-ring samples; radii "
-        "mid-between the 50 mm steps where the +-50 mm depth gate clips) — "
-        "per-frame records and the analysis note are in the artifact.",
+        "- every miss is a no-detection; controlled ablations in the "
+        "artifact's diagnostics section isolate the cause to the shipped "
+        "bank's ANGULAR sampling density (zeroing the +-5 deg in-plane "
+        "jitter — exactly mid-between the 10 deg in-plane steps — recovers "
+        "29/30, while a radius-step-25 bank does not), i.e. the known "
+        "between-template limit the reference addresses with a smaller "
+        "angle step, not a pipeline defect.",
     ]
     return "\n".join(lines)
 
