@@ -165,10 +165,68 @@ class MultiModelPoseDetection:
         )
         return out[class_id]
 
+    def detect_all_stream(
+        self,
+        frames,
+        num_objects: int = 1,
+        pipeline_depth: int = 4,
+        workers: int = 3,
+    ):
+        """Generator: detect_all over an iterable of (color, depth) with up
+        to `pipeline_depth` frames in flight (the multi-class analogue of
+        PoseDetection.detect_stream — same transport reasoning: several
+        fetches must be in flight for the stream to reach the upload/device
+        ceiling). Yields {class_id: [ObjectPose, ...]} in submission order."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max(1, workers)) as ex:
+            futs: collections.deque = collections.deque()
+            for color, depth in frames:
+                handle = self.detect_submit(color, depth)
+                futs.append(
+                    ex.submit(
+                        self._collect, handle, self.class_ids, num_objects,
+                        None,
+                    )
+                )
+                while len(futs) > pipeline_depth:
+                    yield futs.popleft().result()
+            while futs:
+                yield futs.popleft().result()
+
     # ------------------------------------------------------------------
+    def _exact_rerun(self, color_c: np.ndarray, depth_c: np.ndarray):
+        """Exact-streaming-cut rerun of one frame (prefilter saturation
+        retry — multi-class super-banks beyond 8192 templates use the
+        prefiltered cut, see make_match_config)."""
+        import dataclasses
+
+        if getattr(self, "_exact_state", None) is None:
+            cfg = dataclasses.replace(
+                self.state.cfg, prefilter_sel=0,
+                scan_chunk=self.state.cfg.scan_chunk or 4096,
+            )
+            self._exact_state = dataclasses.replace(self.state, cfg=cfg)
+        if self.dual:
+            return detect_frame_dual(
+                self._exact_state,
+                jnp.asarray(color_c.astype(np.uint8)),
+                jnp.asarray(depth_c),
+            )
+        return detect_frame(
+            self._exact_state, jnp.asarray(color_c.astype(np.uint8))
+        )
+
     def _collect(self, handle, class_ids, num_objects, debug):
         packed, color_c, depth_c = handle
         packed = np.asarray(packed)
+        top_k = self.state.cfg.top_k
+        if packed.shape[0] == top_k + 1:
+            # prefiltered cut: exactness-proof row (see PoseDetection)
+            if packed[-1, 0] < 0.5:
+                packed = np.asarray(self._exact_rerun(color_c, depth_c))
+            packed = packed[:top_k]
         valid = packed[:, 4] > 0.5
         tid = packed[valid, 0].astype(np.int64)
         xs = packed[valid, 1]

@@ -169,13 +169,20 @@ def block_multimodel():
     if mm is None:
         return "(MULTIMODEL_PERF.json not yet generated)"
     rows = [
-        "| classes | total templates | synchronous detect_all |",
-        "|---|---|---|",
-        f"| 1 | 1,950 | {mm['single_class_detect_fps']:.1f} fps (detect) |",
+        "| classes | total templates | sync detect_all | streamed |",
+        "|---|---|---|---|",
+        f"| 1 | 1,950 | {mm['single_class_detect_fps']:.1f} fps (detect) | "
+        "headline above |",
     ]
     for m in mm["multi"]:
+        stream = (
+            f"{m['detect_all_stream_fps']:.1f} fps"
+            if m.get("detect_all_stream_fps") is not None
+            else "—"
+        )
         rows.append(
-            f"| {m['n_classes']} | {m['total_templates']:,} | {m['detect_all_fps']:.1f} fps |"
+            f"| {m['n_classes']} | {m['total_templates']:,} | "
+            f"{m['detect_all_fps']:.1f} fps | {stream} |"
         )
     return "\n".join(rows)
 

@@ -39,14 +39,10 @@ N_FRAMES = 30
 REPEATS = 3
 
 
-def stream_rate(fn, n=N_FRAMES):
-    ts = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            fn()
-        ts.append((time.perf_counter() - t0) / n)
-    return 1.0 / float(np.median(ts))
+def timed_rate(fn, n=N_FRAMES):
+    t0 = time.perf_counter()
+    fn(n)
+    return n / (time.perf_counter() - t0)
 
 
 def main():
@@ -61,21 +57,8 @@ def main():
 
     det1 = PoseDetection(base_bank, cam, settings, props0)
     det1.detect(color, depth, 1)
-    t_single = stream_rate(lambda: det1.detect(color, depth, 1))
 
-    results = {
-        "note": (
-            "Synchronous detect/detect_all rate (one frame in flight — the "
-            "per-call transport round trip is included, so these are "
-            "latency-bound on this tunnel; the streamed single-class rate "
-            "is bench.py's headline). Classes are shape-identical copies "
-            "of the 1950-template fixture bank."
-        ),
-        "single_class_detect_fps": round(t_single, 2),
-        "multi": [],
-    }
-    print(f"single-class detect: {t_single:.2f} fps")
-
+    dets = {}
     for n_classes in (2, 3):
         banks = {}
         props = {}
@@ -86,16 +69,56 @@ def main():
             banks[cid] = b
             props[cid] = props0
         det = MultiModelPoseDetection(banks, cam, settings, props)
-        det.detect_all(color, depth)
-        rate = stream_rate(lambda: det.detect_all(color, depth))
-        n_poses = {k: len(v) for k, v in det.detect_all(color, depth).items()}
+        det.detect_all(color, depth)  # compile
+        for _ in det.detect_all_stream([(color, depth)] * 10):  # warm stream
+            pass
+        dets[n_classes] = det
+
+    # INTERLEAVED measurement: the tunnel's throughput drifts in phases
+    # lasting minutes, so sequential per-variant runs land whole variants in
+    # one phase; interleaving the variants inside each round and taking
+    # per-variant medians across rounds samples every variant in every phase
+    variants = {
+        "single_sync": lambda n: [det1.detect(color, depth, 1) for _ in range(n)],
+        "c2_sync": lambda n: [dets[2].detect_all(color, depth) for _ in range(n)],
+        "c3_sync": lambda n: [dets[3].detect_all(color, depth) for _ in range(n)],
+        "c2_stream": lambda n: list(
+            dets[2].detect_all_stream([(color, depth)] * n)
+        ),
+        "c3_stream": lambda n: list(
+            dets[3].detect_all_stream([(color, depth)] * n)
+        ),
+    }
+    rates = {k: [] for k in variants}
+    for _ in range(REPEATS):
+        for k, fn in variants.items():
+            rates[k].append(timed_rate(fn))
+    med = {k: sorted(v)[len(v) // 2] for k, v in rates.items()}
+    print({k: round(v, 2) for k, v in med.items()})
+
+    results = {
+        "note": (
+            "Interleaved median-of-3 rates (the tunnel's throughput drifts "
+            "in phases lasting minutes, so variants are measured round-"
+            "robin). sync = one frame in flight (latency-bound: one ~50 ms "
+            "transport round trip per call); stream = detect_all_stream "
+            "pipelining. Classes are shape-identical copies of the "
+            "1950-template fixture bank."
+        ),
+        "single_class_detect_fps": round(med["single_sync"], 2),
+        "multi": [],
+    }
+    for n_classes in (2, 3):
+        n_poses = {
+            k: len(v) for k, v in dets[n_classes].detect_all(color, depth).items()
+        }
         results["multi"].append({
             "n_classes": n_classes,
             "total_templates": base_bank.num_templates * n_classes,
-            "detect_all_fps": round(rate, 2),
+            "detect_all_fps": round(med[f"c{n_classes}_sync"], 2),
+            "detect_all_stream_fps": round(med[f"c{n_classes}_stream"], 2),
             "poses_per_class": n_poses,
         })
-        print(f"{n_classes} classes: detect_all {rate:.2f} fps, poses {n_poses}")
 
     with open(os.path.join(REPO, "MULTIMODEL_PERF.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -121,6 +121,23 @@ def test_detect_both_classes_one_frame(two_model_setup):
         assert abs(poses[0].translation[2] - exp[2]) < 30, c
 
 
+def test_detect_all_stream_matches_sync(two_model_setup):
+    """The pipelined multi-class stream must yield the same per-class poses
+    as synchronous detect_all, in submission order."""
+    cam, settings, props, meshes, banks = two_model_setup
+    det = MultiModelPoseDetection(banks, cam, settings, {c: props for c in banks})
+    color, depth, _ = render_two_object_scene(cam, meshes, banks)
+    ref = det.detect_all(color, depth, num_objects=1)
+    outs = list(det.detect_all_stream([(color, depth)] * 3, num_objects=1))
+    assert len(outs) == 3
+    for out in outs:
+        assert set(out) == set(ref)
+        for c in ref:
+            assert len(out[c]) == len(ref[c])
+            for a, b in zip(out[c], ref[c]):
+                np.testing.assert_allclose(a.translation, b.translation)
+
+
 def octa_mesh(scale=55.0):
     v = np.array(
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
