@@ -31,7 +31,11 @@ from ..utils.geometry import (
 )
 
 SHINY_OFFSET_MM = 40.0  # the fixture capture reads ~+40 mm on the object
-BG_DEPTH_MM = 1600.0
+# Background = a support surface this far behind the object (a bin-picking
+# part rests on/near a table, as in the captured fixture). A far wall
+# instead would defeat the reference ICP's |z - mean| <= 300 mm outlier-cut
+# semantics (prepareDepthForIcp assumes the bbox window is object+support).
+BG_BEHIND_MM = 150.0
 
 
 def _cube_mesh(half=40.0):
@@ -142,9 +146,10 @@ class SyntheticEvalSet:
         bh, bw = h // 16, w // 16
         patches = rng.uniform(0, 130, (bh, bw, 3)).astype(np.float32)
         color = np.repeat(np.repeat(patches, 16, axis=0), 16, axis=1)
+        bg_depth = float(gt.translation[2]) + BG_BEHIND_MM
         depth = (
-            BG_DEPTH_MM
-            + 100.0 * np.repeat(
+            bg_depth
+            + 40.0 * np.repeat(
                 np.repeat(rng.standard_normal((bh, bw)).astype(np.float32),
                           16, axis=0),
                 16, axis=1,
@@ -154,7 +159,8 @@ class SyntheticEvalSet:
         layers = [(d_obj, c_obj * 255.0, True)]
         if mode == "clutter":
             for _ in range(int(rng.integers(1, 3))):
-                zc = float(rng.uniform(600, 1000))
+                # distractors sit between the camera and the support surface
+                zc = float(rng.uniform(0.55, 0.92)) * bg_depth
                 uc = float(rng.uniform(-250, 250))
                 vc = float(rng.uniform(-170, 170))
                 tc = np.array([uc * zc / cam.fx, vc * zc / cam.fy, zc])
@@ -174,7 +180,7 @@ class SyntheticEvalSet:
 
         if mode == "holes":
             holes = (rng.uniform(size=depth.shape) < 0.03) & (
-                depth < BG_DEPTH_MM - 300
+                depth < bg_depth - 60.0
             )
             depth = np.where(holes, 0.0, depth)
 

@@ -54,6 +54,13 @@ def main():
         help="run the miss-cause ablations (jitter zeroing + radius-step-25 "
              "bank) on the shiny-mode frames; appends a diagnostics section",
     )
+    ap.add_argument(
+        "--icp", action="store_true",
+        help="additionally evaluate ICP-on variants: clean_icp (ICP should "
+             "tighten the pose) and shiny_icp (ICP registers to the +40 mm "
+             "corrupted surface — the documented reason the reference "
+             "defaults to 'use icp: 0')",
+    )
     args = ap.parse_args()
 
     ex = os.path.join(REPO, "example")
@@ -89,14 +96,21 @@ def main():
     }
     total = {"frames": 0, "detected": 0, "vsd_pass": 0, "adds_pass": 0,
              "both_pass": 0}
-    for mode in MODES:
-        # the 'clean' subset models an uncorrupted depth sensor, so the
-        # sensor-compensation offset (depth offset: 30, tuned for the shiny
-        # fixture capture) is zeroed for it — with the shipped offset a
-        # clean sensor reads ~30 mm shallow by construction
-        det.settings = dataclasses.replace(
-            settings, depth_offset=0.0 if mode == "clean" else settings.depth_offset
+
+    def eval_mode(d, label, gen_mode, count_in_total=True):
+        stats = _eval_mode_stats(d, gen_mode)
+        if count_in_total:
+            for k in ("frames", "detected", "vsd_pass", "adds_pass",
+                      "both_pass"):
+                total[k] += stats[k]
+        results["modes"][label] = stats
+        print(
+            f"{label}: {stats['detected']}/{stats['frames']} detected, "
+            f"VSD pass {stats['vsd_pass']}, ADD-S pass {stats['adds_pass']}, "
+            f"both {stats['both_pass']}"
         )
+
+    def _eval_mode_stats(d, gen_mode):
         stats = {"frames": 0, "detected": 0, "vsd_pass": 0, "adds_pass": 0,
                  "both_pass": 0, "vsd": [], "adds": [], "t_err_mm": [],
                  "rot_err_deg": [], "taxonomy": {"no_detection": 0,
@@ -105,8 +119,8 @@ def main():
                                                  "both_fail": 0}}
         stats["missed_frames"] = []
         for i in range(args.frames_per_mode):
-            color, depth, gt, _ = gen.make_frame(i, mode)
-            poses = det.detect(color, depth, 1)
+            color, depth, gt, _ = gen.make_frame(i, gen_mode)
+            poses = d.detect(color, depth, 1)
             stats["frames"] += 1
             if not poses:
                 stats["taxonomy"]["no_detection"] += 1
@@ -138,20 +152,51 @@ def main():
                 stats["taxonomy"]["vsd_fail"] += 1
             elif not ok_a:
                 stats["taxonomy"]["adds_fail"] += 1
-        for k in ("frames", "detected", "vsd_pass", "adds_pass", "both_pass"):
-            total[k] += stats[k]
         stats["median_t_err_mm"] = (
             float(np.median(stats["t_err_mm"])) if stats["t_err_mm"] else None
         )
         stats["median_rot_err_deg"] = (
             float(np.median(stats["rot_err_deg"])) if stats["rot_err_deg"] else None
         )
-        results["modes"][mode] = stats
-        print(
-            f"{mode}: {stats['detected']}/{stats['frames']} detected, "
-            f"VSD pass {stats['vsd_pass']}, ADD-S pass {stats['adds_pass']}, "
-            f"both {stats['both_pass']}"
+        return stats
+
+    for mode in MODES:
+        # the 'clean' subset models an uncorrupted depth sensor, so the
+        # sensor-compensation offset (depth offset: 30, tuned for the shiny
+        # fixture capture) is zeroed for it — with the shipped offset a
+        # clean sensor reads ~30 mm shallow by construction
+        det.settings = dataclasses.replace(
+            settings,
+            depth_offset=0.0 if mode == "clean" else settings.depth_offset,
         )
+        eval_mode(det, mode, mode)
+
+    if args.icp:
+        # ICP-on rows (NOT in the headline totals: the shipped config
+        # matches the reference default 'use icp: 0'). clean_icp: ICP
+        # should tighten the pose on an honest sensor; shiny_icp: ICP
+        # registers to the +40 mm corrupted surface — the measured reason
+        # the reference defaults ICP off for this sensor.
+        from linemod_tpu.ops.icp import IcpRefiner
+        from linemod_tpu.ops.rasterizer import mesh_to_arrays
+
+        icp = IcpRefiner(
+            mesh, cam, settings.icp_subsampling_factor,
+            mesh_arrays=mesh_to_arrays(mesh),
+        )
+        for label, gmode, d_off in (
+            ("clean_icp", "clean", 0.0),
+            ("shiny_icp", "shiny", settings.depth_offset),
+        ):
+            det_icp = PoseDetection(
+                bank, cam,
+                dataclasses.replace(
+                    settings, use_icp=True, depth_offset=d_off
+                ),
+                props, mesh=mesh, icp=icp,
+            )
+            det_icp.state = det.state  # share the compiled matcher state
+            eval_mode(det_icp, label, gmode, count_in_total=False)
 
     results["total"] = total
     results["total"]["detection_rate_pct"] = round(

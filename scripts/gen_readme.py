@@ -132,12 +132,15 @@ def block_accuracy():
     acc = _load("ACCURACY_r05.json")
     t = acc["total"]
     n = t["frames"]
+    base_modes = {
+        k: v for k, v in acc["modes"].items() if not k.endswith("_icp")
+    }
     med_t = [
-        s["median_t_err_mm"] for s in acc["modes"].values()
+        s["median_t_err_mm"] for s in base_modes.values()
         if s["median_t_err_mm"] is not None
     ]
     med_r = [
-        s["median_rot_err_deg"] for s in acc["modes"].values()
+        s["median_rot_err_deg"] for s in base_modes.values()
         if s["median_rot_err_deg"] is not None
     ]
     lines = [
@@ -161,6 +164,26 @@ def block_accuracy():
         "between-template limit the reference addresses with a smaller "
         "angle step, not a pipeline defect.",
     ]
+    ci = acc["modes"].get("clean_icp")
+    si = acc["modes"].get("shiny_icp")
+    if ci and si:
+        import numpy as _np
+
+        base = acc["modes"]["clean"]
+        lines.append(
+            f"- ICP-on rows (outside the headline totals — the shipped "
+            f"config matches the reference default `use icp: 0`): on a "
+            f"clean sensor ICP improves the symmetry-aware surface fit "
+            f"(median ADD-S {_np.median(base['adds']):.2f} -> "
+            f"{_np.median(ci['adds']):.2f} mm, every verified detection "
+            f"passes ADD-S) while rotation-vs-GT inflates through the "
+            f"part's near-symmetry gauge (ICP's axis rotation is "
+            f"unconstrained by the geometry); on the +40 mm shiny sensor "
+            f"it registers to the corrupted surface (median t err "
+            f"{si['median_t_err_mm']:.0f} mm, VSD pass "
+            f"{si['vsd_pass']}/{si['frames']}) — the measured reason the "
+            f"reference defaults ICP off for this sensor.",
+        )
     return "\n".join(lines)
 
 
