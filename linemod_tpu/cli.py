@@ -330,6 +330,28 @@ def _enable_compile_cache():
         pass
 
 
+def cmd_convert(args):
+    """Bank migration to/from the reference's on-disk pair."""
+    from .models.template_bank import TemplateBank
+    from .utils.refformat import export_reference_bank, import_reference_bank
+
+    if bool(args.from_reference) == bool(args.to_reference):
+        raise SystemExit("convert: pass exactly one of --from-reference / "
+                         "--to-reference")
+    if not args.bank:
+        raise SystemExit("convert: --bank is required")
+    if args.from_reference:
+        bank = import_reference_bank(args.from_reference)
+        bank.save(args.bank)
+        print(f"imported {bank.num_templates} templates "
+              f"({bank.class_id}) -> {args.bank}")
+    else:
+        bank = TemplateBank.load(args.bank)
+        yml, binp = export_reference_bank(bank, args.to_reference)
+        print(f"exported {bank.num_templates} templates -> {yml}, {binp}")
+    return 0
+
+
 def main(argv=None):
     _enable_compile_cache()
     p = argparse.ArgumentParser(prog="linemod_tpu")
@@ -395,6 +417,19 @@ def main(argv=None):
     a.add_argument("--depths", default="capture/depth%d.png")
     a.add_argument("--out-dir", default="benchmark")
     a.set_defaults(fn=cmd_aruco)
+
+    c = sub.add_parser(
+        "convert",
+        help="convert banks between this framework's npz format and the "
+             "reference's linemod_templates.yml.gz + linemod_tempPosFile.bin "
+             "pair (src/HighLevelLinemod.cpp:256-320)",
+    )
+    c.add_argument("--from-reference", metavar="DIR",
+                   help="directory holding the reference pair to import")
+    c.add_argument("--to-reference", metavar="DIR",
+                   help="directory to export the reference pair into")
+    c.add_argument("--bank", help="npz bank path (import target / export source)")
+    c.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     return args.fn(args)
