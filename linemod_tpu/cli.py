@@ -341,10 +341,23 @@ def cmd_convert(args):
     if not args.bank:
         raise SystemExit("convert: --bank is required")
     if args.from_reference:
-        bank = import_reference_bank(args.from_reference)
-        bank.save(args.bank)
-        print(f"imported {bank.num_templates} templates "
-              f"({bank.class_id}) -> {args.bank}")
+        from .utils.refformat import import_reference_banks
+
+        banks = import_reference_banks(args.from_reference)
+        if len(banks) == 1 and not os.path.isdir(args.bank):
+            bank = next(iter(banks.values()))
+            bank.save(args.bank)
+            print(f"imported {bank.num_templates} templates "
+                  f"({bank.class_id}) -> {args.bank}")
+        else:
+            # the reference pair holds every model; --bank is a directory
+            os.makedirs(args.bank, exist_ok=True)
+            for cid, bank in banks.items():
+                stem = os.path.splitext(os.path.basename(cid))[0]
+                path = os.path.join(args.bank, stem + ".npz")
+                bank.save(path)
+                print(f"imported {bank.num_templates} templates "
+                      f"({cid}) -> {path}")
     else:
         bank = TemplateBank.load(args.bank)
         yml, binp = export_reference_bank(bank, args.to_reference)

@@ -58,18 +58,23 @@ def _template_yaml(width, height, level, feats, valid, indent):
     return lines
 
 
-def export_reference_bank(bank, out_dir: str, t_levels=None) -> tuple:
-    """Write `bank` as the reference's linemod_templates.yml.gz +
-    linemod_tempPosFile.bin pair. Returns the two paths.
+def export_reference_banks(banks: list, out_dir: str, t_levels=None) -> tuple:
+    """Write `banks` (one per model, matching the reference's one-pair-for-
+    all-models layout) as linemod_templates.yml.gz + linemod_tempPosFile.bin.
+    Returns the two paths.
 
-    t_levels: spreading T per pyramid level; defaults to the reference's
-    ({5, 8} dual-modality, {2, 8} color-only —
+    All banks must share the modality mode (one cv::linemod detector holds
+    every class). t_levels: spreading T per pyramid level; defaults to the
+    reference's ({5, 8} dual-modality, {2, 8} color-only —
     src/HighLevelLinemod.cpp:32,40)."""
+    if not banks:
+        raise ValueError("no banks to export")
     os.makedirs(out_dir, exist_ok=True)
-    dual = bank.dual_modality
+    dual = banks[0].dual_modality
+    if any(b.dual_modality != dual for b in banks):
+        raise ValueError("all banks must share the modality mode")
     if t_levels is None:
         t_levels = (5, 8) if dual else (2, 8)
-    n = bank.num_templates
 
     lines = ["%YAML:1.0", "---", "pyramid_levels: 2", "modalities:"]
     # modality extraction params are cv::linemod construction defaults; they
@@ -87,57 +92,113 @@ def export_reference_bank(bank, out_dir: str, t_levels=None) -> tuple:
         )
     lines.append(f"T: [ {t_levels[0]}, {t_levels[1]} ]")
     lines.append("classes:")
-    lines.append(f"   - class_id: \"{bank.class_id}\"")
-    lines.append("     modalities: [ ColorGradient"
-                 + (", DepthNormal" if dual else "") + " ]")
-    lines.append("     pyramid_levels: 2")
-    lines.append("     template_pyramids:")
-    for i in range(n):
-        lines.append(f"        - template_id: {i}")
-        lines.append("          templates:")
-        # index = level * num_modalities + modality (cv::linemod layout)
-        entries = {
-            (0, 0): (bank.feat0[i], bank.valid0[i]),
-            (1, 0): (bank.feat1[i], bank.valid1[i]),
-        }
-        if dual:
-            entries[(0, 1)] = (bank.nfeat0[i], bank.nvalid0[i])
-            entries[(1, 1)] = (bank.nfeat1[i], bank.nvalid1[i])
-        num_mod = 2 if dual else 1
-        w0, h0 = int(bank.bbox[i, 2]), int(bank.bbox[i, 3])
-        for level in (0, 1):
-            scale = 1 << level
-            for mod in range(num_mod):
-                feats, valid = entries[(level, mod)]
-                lines += _template_yaml(
-                    -(-w0 // scale), -(-h0 // scale), level, feats, valid, 10
-                )
+    num_mod = 2 if dual else 1
+    for bank in banks:
+        lines.append(f"   - class_id: \"{bank.class_id}\"")
+        lines.append("     modalities: [ ColorGradient"
+                     + (", DepthNormal" if dual else "") + " ]")
+        lines.append("     pyramid_levels: 2")
+        lines.append("     template_pyramids:")
+        for i in range(bank.num_templates):
+            lines.append(f"        - template_id: {i}")
+            lines.append("          templates:")
+            # index = level * num_modalities + modality (cv::linemod layout)
+            entries = {
+                (0, 0): (bank.feat0[i], bank.valid0[i]),
+                (1, 0): (bank.feat1[i], bank.valid1[i]),
+            }
+            if dual:
+                entries[(0, 1)] = (bank.nfeat0[i], bank.nvalid0[i])
+                entries[(1, 1)] = (bank.nfeat1[i], bank.nvalid1[i])
+            w0, h0 = int(bank.bbox[i, 2]), int(bank.bbox[i, 3])
+            for level in (0, 1):
+                scale = 1 << level
+                for mod in range(num_mod):
+                    feats, valid = entries[(level, mod)]
+                    lines += _template_yaml(
+                        -(-w0 // scale), -(-h0 // scale), level, feats,
+                        valid, 10,
+                    )
     yml_path = os.path.join(out_dir, "linemod_templates.yml.gz")
     with gzip.open(yml_path, "wt") as f:
         f.write("\n".join(lines) + "\n")
 
     bin_path = os.path.join(out_dir, "linemod_tempPosFile.bin")
     with open(bin_path, "wb") as f:
-        f.write(struct.pack("<I", 1))  # one model
-        f.write(struct.pack("<Q", n))
-        for i in range(n):
-            w, x, y, z = bank.quat[i]  # ours is (w, x, y, z)
-            f.write(
-                TEMPLATE_STRUCT.pack(
-                    0.0, 0.0, float(bank.z[i]),  # translation (0, 0, dist)
-                    float(x), float(y), float(z), float(w),  # glm xyzw
-                    int(bank.bbox[i, 0]), int(bank.bbox[i, 1]),
-                    int(bank.bbox[i, 2]), int(bank.bbox[i, 3]),
-                    int(round(float(bank.median_depth[i]))),
+        f.write(struct.pack("<I", len(banks)))
+        for bank in banks:
+            f.write(struct.pack("<Q", bank.num_templates))
+            for i in range(bank.num_templates):
+                w, x, y, z = bank.quat[i]  # ours is (w, x, y, z)
+                f.write(
+                    TEMPLATE_STRUCT.pack(
+                        0.0, 0.0, float(bank.z[i]),  # translation (0, 0, d)
+                        float(x), float(y), float(z), float(w),  # glm xyzw
+                        int(bank.bbox[i, 0]), int(bank.bbox[i, 1]),
+                        int(bank.bbox[i, 2]), int(bank.bbox[i, 3]),
+                        int(round(float(bank.median_depth[i]))),
+                    )
                 )
-            )
     return yml_path, bin_path
 
 
-def import_reference_bank(in_dir: str):
-    """Read a reference-format bank pair into a TemplateBank."""
+def export_reference_bank(bank, out_dir: str, t_levels=None) -> tuple:
+    """Single-class convenience wrapper over export_reference_banks."""
+    return export_reference_banks([bank], out_dir, t_levels)
+
+
+def import_reference_banks(in_dir: str) -> dict:
+    """Read a reference-format pair into {class_id: TemplateBank}.
+
+    The reference writes EVERY model's templates into the one yml.gz (one
+    `classes` entry each) and the bin file's model-count-prefixed struct
+    runs in the same class order (writeLinemod,
+    src/HighLevelLinemod.cpp:262-284)."""
     import yaml
 
+    from .yamlcv import _sanitize
+
+    with gzip.open(
+        os.path.join(in_dir, "linemod_templates.yml.gz"), "rt"
+    ) as f:
+        doc = yaml.safe_load(_sanitize(f.read()))
+    classes = doc["classes"]
+
+    # bin file: per-model template runs, in class order
+    bin_path = os.path.join(in_dir, "linemod_tempPosFile.bin")
+    per_model = []
+    with open(bin_path, "rb") as f:
+        (n_models,) = struct.unpack("<I", f.read(4))
+        for _ in range(n_models):
+            (cnt,) = struct.unpack("<Q", f.read(8))
+            rows = [
+                TEMPLATE_STRUCT.unpack(f.read(TEMPLATE_STRUCT.size))
+                for _ in range(cnt)
+            ]
+            per_model.append(rows)
+    if len(per_model) != len(classes):
+        raise ValueError(
+            f"model count mismatch: yml has {len(classes)} classes, "
+            f"bin has {len(per_model)}"
+        )
+    return {
+        str(cls["class_id"]): _class_to_bank(cls, rows)
+        for cls, rows in zip(classes, per_model)
+    }
+
+
+def import_reference_bank(in_dir: str):
+    """Read a single-class reference-format pair into a TemplateBank."""
+    banks = import_reference_banks(in_dir)
+    if len(banks) != 1:
+        raise ValueError(
+            f"reference pair holds {len(banks)} classes "
+            f"({sorted(banks)}); use import_reference_banks"
+        )
+    return next(iter(banks.values()))
+
+
+def _class_to_bank(cls: dict, bin_rows: list):
     from ..models.template_bank import (
         HULL_VERTS,
         MAX_FEATURES,
@@ -145,16 +206,7 @@ def import_reference_bank(in_dir: str):
         _convex_hull,
         _pad_hull,
     )
-    from .yamlcv import _sanitize
 
-    with gzip.open(os.path.join(in_dir, "linemod_templates.yml.gz"), "rt") as f:
-        doc = yaml.safe_load(_sanitize(f.read()))
-    classes = doc["classes"]
-    if len(classes) != 1:
-        raise NotImplementedError(
-            "multi-class reference banks import one class per call"
-        )
-    cls = classes[0]
     mods = cls["modalities"]
     dual = "DepthNormal" in mods
     num_mod = len(mods)
@@ -184,7 +236,6 @@ def import_reference_bank(in_dir: str):
         templates = tp["templates"]
         for j, t in enumerate(templates):
             level = int(t["pyramid_level"])
-            mod = j % num_mod if num_mod > 1 else 0
             # cv::linemod layout: j == level * num_mod + mod
             mod = j - level * num_mod
             fa, va = targets[(level, mod)]
@@ -194,27 +245,19 @@ def import_reference_bank(in_dir: str):
                 fa[i, k] = feats[k]
                 va[i, k] = True
 
-    bin_path = os.path.join(in_dir, "linemod_tempPosFile.bin")
+    if len(bin_rows) != n:
+        raise ValueError(
+            f"template count mismatch: yml has {n}, bin has {len(bin_rows)}"
+        )
     quat = np.zeros((n, 4), np.float32)
     zdist = np.zeros((n,), np.float32)
     median = np.zeros((n,), np.float32)
-    with open(bin_path, "rb") as f:
-        (n_models,) = struct.unpack("<I", f.read(4))
-        idx = 0
-        for _ in range(n_models):
-            (cnt,) = struct.unpack("<Q", f.read(8))
-            for _ in range(cnt):
-                vals = TEMPLATE_STRUCT.unpack(f.read(TEMPLATE_STRUCT.size))
-                tx, ty, tz, qx, qy, qz, qw, bx, by, bw, bh, med = vals
-                zdist[idx] = tz
-                quat[idx] = (qw, qx, qy, qz)  # glm xyzw -> ours wxyz
-                bbox[idx] = (bx, by, bw, bh)
-                median[idx] = med
-                idx += 1
-    if idx != n:
-        raise ValueError(
-            f"template count mismatch: yml has {n}, bin has {idx}"
-        )
+    for idx, vals in enumerate(bin_rows):
+        tx, ty, tz, qx, qy, qz, qw, bx, by, bw, bh, med = vals
+        zdist[idx] = tz
+        quat[idx] = (qw, qx, qy, qz)  # glm xyzw -> ours wxyz
+        bbox[idx] = (bx, by, bw, bh)
+        median[idx] = med
 
     for i in range(n):
         pts = feat0[i, valid0[i], :2].astype(np.float32)

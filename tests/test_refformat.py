@@ -52,6 +52,32 @@ def test_fixture_bank_roundtrip_detection_identical(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
+def test_multi_class_pair_roundtrip(tmp_path):
+    """The reference writes EVERY model into one pair; a 2-class pair must
+    round-trip with per-class template runs intact."""
+    from linemod_tpu.models.template_bank import make_synthetic_bank
+    from linemod_tpu.utils.refformat import (
+        export_reference_banks,
+        import_reference_banks,
+    )
+
+    a = make_synthetic_bank(6, seed=1)
+    a.class_id = "a.ply"
+    b = make_synthetic_bank(10, seed=2, bbox_wh=32)
+    b.class_id = "b.ply"
+    export_reference_banks([a, b], str(tmp_path))
+    got = import_reference_banks(str(tmp_path))
+    assert sorted(got) == ["a.ply", "b.ply"]
+    for src in (a, b):
+        dst = got[src.class_id]
+        assert dst.num_templates == src.num_templates
+        np.testing.assert_array_equal(dst.bbox, src.bbox)
+        np.testing.assert_array_equal(
+            dst.feat0[dst.valid0], src.feat0[src.valid0]
+        )
+        np.testing.assert_allclose(dst.quat, src.quat, atol=1e-6)
+
+
 def test_dual_bank_roundtrip(tmp_path):
     bank = TemplateBank.load(
         os.path.join(EXAMPLE, "banks_dual", "lagergehaeuse.npz")
