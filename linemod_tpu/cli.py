@@ -333,7 +333,7 @@ def _enable_compile_cache():
 def cmd_convert(args):
     """Bank migration to/from the reference's on-disk pair."""
     from .models.template_bank import TemplateBank
-    from .utils.refformat import export_reference_bank, import_reference_bank
+    from .utils.refformat import export_reference_bank
 
     if bool(args.from_reference) == bool(args.to_reference):
         raise SystemExit("convert: pass exactly one of --from-reference / "

@@ -124,10 +124,19 @@ def organized_normals(win, xx, yy, valid, *, big_step_mm=BLUR_EDGE_MM):
     def axis_tangent(axis):
         fwd = jnp.roll(p, -1, axis=axis) - p
         bwd = p - jnp.roll(p, 1, axis=axis)
-        v_f = jnp.roll(valid, -1, axis=axis) & valid & (
+        # jnp.roll wraps, so the window's first/last row (or column) would
+        # take its "neighbor" from the opposite edge — mask those out
+        # explicitly (a bbox spanning the full window otherwise gets
+        # window-wide tangents at the border)
+        idx = jnp.arange(win.shape[axis])
+        shape = [1, 1]
+        shape[axis] = win.shape[axis]
+        not_last = (idx < win.shape[axis] - 1).reshape(shape)
+        not_first = (idx > 0).reshape(shape)
+        v_f = not_last & jnp.roll(valid, -1, axis=axis) & valid & (
             jnp.abs(jnp.roll(win, -1, axis=axis) - win) < big_step_mm
         )
-        v_b = jnp.roll(valid, 1, axis=axis) & valid & (
+        v_b = not_first & jnp.roll(valid, 1, axis=axis) & valid & (
             jnp.abs(jnp.roll(win, 1, axis=axis) - win) < big_step_mm
         )
         cen = 0.5 * (fwd + bwd)

@@ -327,9 +327,15 @@ class IcpRefiner:
 
         Group count and per-group pose count are pow2-bucketed so the
         program compiles once per (G, P) bucket; padding repeats the last
-        group/pose, whose results the collect step slices away."""
+        group/pose, whose results the collect step slices away.
+
+        Without mesh_arrays (no renderer), verify-by-render cannot run; the
+        handle then defers to plain refine at collect time and each group
+        yields its first refined pose (the pre-verify behavior)."""
         if not groups:
             return None
+        if self.marr is None:
+            return ("refine_only", depth, groups)
         n_groups = len(groups)
         g_pad = 1 << (n_groups - 1).bit_length()
         p_max = max(len(g) for g in groups)
@@ -369,6 +375,9 @@ class IcpRefiner:
         agreement passes the 35 mm gate)."""
         if handle is None:
             return []
+        if len(handle) == 3:  # ("refine_only", depth, groups) — no renderer
+            _, depth, groups = handle
+            return [self.refine(depth, g)[0] for g in groups]
         packed_dev, groups = handle
         packed = np.asarray(packed_dev)
         out = []

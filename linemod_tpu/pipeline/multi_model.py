@@ -36,7 +36,6 @@ from .pose_detection import (
     PoseDetection,
     _pad_bank,
     make_match_config,
-    postprocess_matches,
 )
 
 
@@ -169,89 +168,110 @@ class MultiModelPoseDetection:
         self,
         frames,
         num_objects: int = 1,
-        pipeline_depth: int = 4,
-        workers: int = 3,
+        pipeline_depth: int | None = None,
+        workers: int | None = None,
     ):
         """Generator: detect_all over an iterable of (color, depth) with up
         to `pipeline_depth` frames in flight (the multi-class analogue of
         PoseDetection.detect_stream — same transport reasoning: several
         fetches must be in flight for the stream to reach the upload/device
-        ceiling). Yields {class_id: [ObjectPose, ...]} in submission order."""
+        ceiling). With ICP configured, collection splits into two chained
+        executor stages so every class's ICP fetch overlaps the next
+        frame's match fetch, and the pipeline auto-sizes up (see
+        PoseDetection.detect_stream). Yields {class_id: [ObjectPose, ...]}
+        in submission order."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
+
+        two_stage = bool(self.icps) and self.settings.use_icp
+        if workers is None:
+            workers = 8 if two_stage else 3
+        if pipeline_depth is None:
+            pipeline_depth = 12 if two_stage else 4
 
         with ThreadPoolExecutor(max(1, workers)) as ex:
             futs: collections.deque = collections.deque()
             for color, depth in frames:
                 handle = self.detect_submit(color, depth)
-                futs.append(
-                    ex.submit(
-                        self._collect, handle, self.class_ids, num_objects,
-                        None,
+                if two_stage:
+                    f1 = ex.submit(
+                        self._collect_phase1, handle, self.class_ids
                     )
-                )
+                    futs.append(
+                        ex.submit(
+                            lambda f=f1: self._collect_phase2(
+                                f.result(), num_objects
+                            )
+                        )
+                    )
+                else:
+                    futs.append(
+                        ex.submit(
+                            self._collect, handle, self.class_ids,
+                            num_objects, None,
+                        )
+                    )
                 while len(futs) > pipeline_depth:
                     yield futs.popleft().result()
             while futs:
                 yield futs.popleft().result()
 
     # ------------------------------------------------------------------
-    def _exact_rerun(self, color_c: np.ndarray, depth_c: np.ndarray):
-        """Exact-streaming-cut rerun of one frame (prefilter saturation
-        retry — multi-class super-banks beyond 8192 templates use the
-        prefiltered cut, see make_match_config)."""
-        import dataclasses
-
-        if getattr(self, "_exact_state", None) is None:
-            cfg = dataclasses.replace(
-                self.state.cfg, prefilter_sel=0,
-                scan_chunk=self.state.cfg.scan_chunk or 4096,
-            )
-            self._exact_state = dataclasses.replace(self.state, cfg=cfg)
-        if self.dual:
-            return detect_frame_dual(
-                self._exact_state,
-                jnp.asarray(color_c.astype(np.uint8)),
-                jnp.asarray(depth_c),
-            )
-        return detect_frame(
-            self._exact_state, jnp.asarray(color_c.astype(np.uint8))
+    def _collect(self, handle, class_ids, num_objects, debug):
+        return self._collect_phase2(
+            self._collect_phase1(handle, class_ids, debug), num_objects
         )
 
-    def _collect(self, handle, class_ids, num_objects, debug):
+    def _collect_phase1(self, handle, class_ids, debug=None):
+        """Stage 1: fetch the match results, run every class's host-side
+        grouping + checks, and SUBMIT each ICP-enabled class's fused
+        per-group refine+verify program without waiting (the multi-class
+        analogue of PoseDetection._collect_phase1 — the ICP fetches then
+        overlap the next frame's match in detect_all_stream)."""
+        from .pose_detection import (
+            group_candidate_poses,
+            resolve_prefilter_packed,
+        )
+
         packed, color_c, depth_c = handle
-        packed = np.asarray(packed)
-        top_k = self.state.cfg.top_k
-        if packed.shape[0] == top_k + 1:
-            # prefiltered cut: exactness-proof row (see PoseDetection)
-            if packed[-1, 0] < 0.5:
-                packed = np.asarray(self._exact_rerun(color_c, depth_c))
-            packed = packed[:top_k]
+        packed = resolve_prefilter_packed(
+            np.asarray(packed), self, color_c, depth_c, self.dual
+        )
         valid = packed[:, 4] > 0.5
         tid = packed[valid, 0].astype(np.int64)
         xs = packed[valid, 1]
         ys = packed[valid, 2]
         cls_idx = np.searchsorted(self.offsets, tid, side="right") - 1
-        results: dict[str, list] = {}
+        per_class = {}
         for c in class_ids:
             i = self.class_ids.index(c)
             sel = cls_idx == i
             dbg = debug.get(c) if debug else None
             if dbg is not None:
                 dbg.num_raw_matches = int(sel.sum())
-            results[c] = postprocess_matches(
-                tid[sel] - self.offsets[i],
-                xs[sel],
-                ys[sel],
-                self.banks[c],
-                self.props[c],
-                self.settings,
-                self.cam,
-                color_c,
-                depth_c,
-                num_objects,
-                self._hull_masks[c],
-                icp=self.icps.get(c),
-                debug=dbg,
+            grouped = group_candidate_poses(
+                tid[sel] - self.offsets[i], xs[sel], ys[sel],
+                self.banks[c], self.props[c], self.settings, self.cam,
+                color_c, depth_c, self._hull_masks[c], debug=dbg,
             )
+            icp = self.icps.get(c)
+            icp_handle = None
+            if icp is not None and self.settings.use_icp and grouped:
+                icp_handle = icp.refine_submit(depth_c, grouped)
+            per_class[c] = (grouped, icp_handle)
+        return per_class
+
+    def _collect_phase2(self, per_class, num_objects):
+        results: dict[str, list] = {}
+        for c, (grouped, icp_handle) in per_class.items():
+            if icp_handle is not None:
+                poses = []
+                for best in self.icps[c].refine_collect(icp_handle):
+                    if best is not None:
+                        poses.append(best)
+                    if len(poses) >= num_objects:
+                        break
+                results[c] = poses
+            else:
+                results[c] = [g[0] for g in grouped[:num_objects]]
         return results

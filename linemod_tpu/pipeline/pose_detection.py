@@ -38,6 +38,48 @@ from ..ops.postprocess import (
 from ..types import ObjectPose
 
 
+def resolve_prefilter_packed(
+    packed: np.ndarray, owner, color_c: np.ndarray, depth_c: np.ndarray,
+    dual: bool,
+) -> np.ndarray:
+    """Handle the prefiltered cut's exactness-proof row (detect_core._pack
+    appends it when MatchConfig.prefilter_sel is active): slice it off, and
+    re-run a saturated frame synchronously on the exact streaming matcher.
+
+    Shared by the single- and multi-model orchestrators: `owner` carries the
+    compiled `.state` and caches the lazily-built exact retry state on
+    itself (saturation needs template maxes tied at the selection boundary,
+    which real banks essentially never hit, so the retry program compiles
+    only if ever needed)."""
+    top_k = owner.state.cfg.top_k
+    if packed.shape[0] != top_k + 1:
+        return packed
+    if packed[-1, 0] < 0.5:
+        if getattr(owner, "_exact_state", None) is None:
+            cfg = dataclasses.replace(
+                owner.state.cfg, prefilter_sel=0,
+                scan_chunk=owner.state.cfg.scan_chunk or 4096,
+            )
+            owner._exact_state = dataclasses.replace(owner.state, cfg=cfg)
+        from ..ops.detect_core import detect_frame, detect_frame_dual
+
+        if dual:
+            packed = np.asarray(
+                detect_frame_dual(
+                    owner._exact_state,
+                    jnp.asarray(color_c.astype(np.uint8)),
+                    jnp.asarray(depth_c),
+                )
+            )
+        else:
+            packed = np.asarray(
+                detect_frame(
+                    owner._exact_state, jnp.asarray(color_c.astype(np.uint8))
+                )
+            )
+    return packed[:top_k]
+
+
 @dataclasses.dataclass
 class DetectionDebug:
     num_raw_matches: int = 0
@@ -172,29 +214,6 @@ class PoseDetection:
 
         self.delta_transport = (
             not self.host_quant and _jax.default_backend() == "tpu"
-        )
-
-    # ------------------------------------------------------------------
-    def _exact_rerun(self, color_c: np.ndarray, depth_c: np.ndarray):
-        """Exact-streaming-cut rerun of one frame (prefilter saturation
-        retry; compiled lazily — saturation needs template maxes tied at
-        the selection boundary, which real banks essentially never hit)."""
-        if getattr(self, "_exact_state", None) is None:
-            cfg = dataclasses.replace(
-                self.state.cfg, prefilter_sel=0,
-                scan_chunk=self.state.cfg.scan_chunk or 4096,
-            )
-            self._exact_state = dataclasses.replace(self.state, cfg=cfg)
-        from ..ops.detect_core import detect_frame, detect_frame_dual
-
-        if self.bank.dual_modality:
-            return detect_frame_dual(
-                self._exact_state,
-                jnp.asarray(color_c.astype(np.uint8)),
-                jnp.asarray(depth_c),
-            )
-        return detect_frame(
-            self._exact_state, jnp.asarray(color_c.astype(np.uint8))
         )
 
     # ------------------------------------------------------------------
@@ -427,15 +446,10 @@ class PoseDetection:
         this frame (round-4 weakness: the synchronous chain cost ~2 RTTs of
         critical path per frame)."""
         packed, color_c, depth_c = handle
-        packed = np.asarray(packed)
-        top_k = self.state.cfg.top_k
-        if packed.shape[0] == top_k + 1:
-            # prefiltered cut: last row carries the exactness proof; a rare
-            # saturated frame (template maxes tied at the selection boundary)
-            # re-runs synchronously on the exact streaming cut
-            if packed[-1, 0] < 0.5:
-                packed = np.asarray(self._exact_rerun(color_c, depth_c))
-            packed = packed[:top_k]
+        packed = resolve_prefilter_packed(
+            np.asarray(packed), self, color_c, depth_c,
+            self.bank.dual_modality,
+        )
         valid = packed[:, 4] > 0.5
         tid = packed[valid, 0].astype(np.int64)
         xs = packed[valid, 1]

@@ -75,13 +75,20 @@ def main():
     t_pallas = device_time(state, color, depth)
     print(f"dual fine refine via Pallas: {t_pallas * 1e3:.2f} ms/frame")
 
+    ref = {k: np.asarray(v) for k, v in ref.items()}
     orig_limit = matching.FINE_PALLAS_VMEM_LIMIT
     matching.FINE_PALLAS_VMEM_LIMIT = 0  # force the XLA gather fallback
+    # the limit is read at TRACE time inside fine_refine, and match_templates
+    # is @jax.jit with identical statics/avals — without dropping the jit
+    # cache the "fallback" run would silently reuse the compiled Pallas
+    # program (this exact bug shipped the first DUAL_VMEM.json: 6.803 vs
+    # 6.794 ms, i.e. the same program measured twice)
+    jax.clear_caches()
     try:
         state2 = build_match_state(_pad_bank(bank, cfg.template_chunk), cfg)
         got = match_templates(state2, color, depth)
         same = all(
-            bool(jnp.array_equal(ref[k], got[k]))
+            np.array_equal(ref[k], np.asarray(got[k]))
             for k in ("template_id", "x", "y", "similarity", "valid")
         )
         t_gather = device_time(state2, color, depth)
